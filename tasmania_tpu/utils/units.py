@@ -159,3 +159,15 @@ def multiply_units(a: str, b: str) -> str:
 def per_second(units: str) -> str:
     """Units of the time-tendency of a field carrying ``units``."""
     return multiply_units(units, "s^-1")
+
+
+def strip_per_second(units: str) -> str:
+    """Units of the field whose tendency carries ``units`` (inverse of
+    :func:`per_second`); strips one ``s^-1`` token when syntactically present,
+    otherwise appends ``s``."""
+    tokens = units.split()
+    for i, tok in enumerate(tokens):
+        if tok in ("s^-1", "s**-1", "s-1"):
+            rest = tokens[:i] + tokens[i + 1 :]
+            return " ".join(rest) if rest else "1"
+    return multiply_units(units, "s")

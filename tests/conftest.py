@@ -7,7 +7,9 @@ mirroring the reference's backend-equivalence strategy, SURVEY.md §4) and with
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient JAX_PLATFORMS=axon routes every compile through the
+# TPU tunnel, which is both slow and wrong for oracle tests
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# the axon sitecustomize pins the platform at import; this is the override
+# that actually sticks
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
