@@ -1,0 +1,211 @@
+"""Abstract multi-stage dynamical-core driver.
+
+TPU-native re-design of reference ``src/tasmania/framework/dycore.py:59``:
+the stage loop (``:455-462``), per-stage ``call`` (``:464-720``) with fast
+tendency/diagnostic hooks, and the raw-array stage interface
+(``stage_array_call``, ``:722``).  Functional: one ``__call__`` maps
+(state, slow_tendencies, dt) -> new state; under ``jax.jit`` the whole
+multi-stage loop unrolls into a single device program and XLA reuses/donates
+buffers — the reference's preallocated stage-output machinery is unnecessary.
+
+Substepping is scaffolded but unimplemented, exactly like the reference
+(``dycore.py:590-592`` raises ``NotImplementedError``).
+"""
+
+from __future__ import annotations
+
+import abc
+from datetime import timedelta
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+from tasmania_tpu.framework.base_components import DomainComponent
+from tasmania_tpu.framework.concurrent_coupling import ConcurrentCoupling
+from tasmania_tpu.framework.core_components import merge_tendencies
+from tasmania_tpu.framework.dict_operator import DictOperator
+from tasmania_tpu.framework.field import (
+    FieldArray,
+    ensure_timedelta_seconds,
+    field_dims,
+    get_array_dict,
+)
+from tasmania_tpu.framework.options import BackendOptions, StorageOptions
+from tasmania_tpu.framework.stencil import StencilFactory
+from tasmania_tpu.utils.timer import Timer
+
+PropertyDict = Mapping[str, Mapping[str, Any]]
+
+
+class DynamicalCore(DomainComponent, StencilFactory, abc.ABC):
+    def __init__(
+        self,
+        domain,
+        fast_tendency_component=None,
+        fast_diagnostic_component=None,
+        substeps: int = 0,
+        superfast_tendency_component=None,
+        superfast_diagnostic_component=None,
+        *,
+        enable_checks: bool = True,
+        backend: str = "jax",
+        backend_options: Optional[BackendOptions] = None,
+        storage_options: Optional[StorageOptions] = None,
+    ) -> None:
+        DomainComponent.__init__(self, domain, "numerical")
+        StencilFactory.__init__(self, backend, backend_options, storage_options)
+        self._enable_checks = enable_checks
+        self._dict_op = DictOperator()
+
+        wrap = lambda c: (
+            None
+            if c is None
+            else (c if isinstance(c, ConcurrentCoupling) else ConcurrentCoupling(c))
+        )
+        self.fast_tendency_component = wrap(fast_tendency_component)
+        self.fast_diagnostic_component = wrap(fast_diagnostic_component)
+        if substeps > 0 or superfast_tendency_component or superfast_diagnostic_component:
+            raise NotImplementedError(
+                "substepping is scaffolded but unimplemented "
+                "(parity with reference dycore.py:590-592)"
+            )
+
+    # -- abstract stage interface ------------------------------------------------ #
+    @property
+    @abc.abstractmethod
+    def stage_input_properties(self) -> PropertyDict:
+        ...
+
+    @property
+    @abc.abstractmethod
+    def stage_tendency_properties(self) -> PropertyDict:
+        ...
+
+    @property
+    @abc.abstractmethod
+    def stage_output_properties(self) -> PropertyDict:
+        ...
+
+    @property
+    @abc.abstractmethod
+    def stages(self) -> int:
+        ...
+
+    @abc.abstractmethod
+    def stage_array_call(
+        self,
+        stage: int,
+        raw_state: Mapping[str, Any],
+        raw_tendencies: Mapping[str, Any],
+        timestep: float,
+    ) -> Dict[str, Any]:
+        """Raw stage step: arrays in declared units -> raw stepped arrays."""
+
+    # -- public properties (derived) --------------------------------------------- #
+    @property
+    def input_properties(self) -> PropertyDict:
+        props = dict(self.stage_input_properties)
+        ftc = self.fast_tendency_component
+        if ftc is not None:
+            for name, p in ftc.input_properties.items():
+                props.setdefault(name, dict(p))
+        return props
+
+    @property
+    def input_tendency_properties(self) -> PropertyDict:
+        return dict(self.stage_tendency_properties)
+
+    @property
+    def output_properties(self) -> PropertyDict:
+        props = dict(self.stage_output_properties)
+        fdc = self.fast_diagnostic_component
+        if fdc is not None:
+            for name, p in fdc.diagnostic_properties.items():
+                props.setdefault(name, dict(p))
+        return props
+
+    # -- execution ---------------------------------------------------------------- #
+    def __call__(
+        self,
+        state: Mapping[str, Any],
+        tendencies: Mapping[str, Any],
+        timestep,
+        *,
+        out_state: Optional[Mapping[str, Any]] = None,
+    ) -> Dict[str, Any]:
+        """Advance ``state`` one timestep (reference ``dycore.py:383``)."""
+        dt = ensure_timedelta_seconds(timestep)
+        tmp_state = dict(state)
+        fast_tends_carry: Dict[str, Any] = {}
+        for stage in range(self.stages):
+            tmp_state, fast_tends_carry = self._stage_call(
+                stage, dt, state, tendencies, tmp_state, fast_tends_carry
+            )
+        if "time" in state:
+            tmp_state["time"] = state["time"] + timedelta(seconds=dt)
+        return tmp_state
+
+    def _stage_call(
+        self,
+        stage: int,
+        dt: float,
+        state: Mapping[str, Any],
+        slow_tendencies: Mapping[str, Any],
+        tmp_state: Dict[str, Any],
+        fdc_tendencies: Mapping[str, Any],
+    ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        """One stage (reference ``dycore.py:464``): merge slow+fast tendencies,
+        run the fast tendency component on the provisional state, step, then run
+        the fast diagnostic component on the stage output."""
+        # slow tendencies + tendencies from the previous stage's fast
+        # diagnostic component
+        fast_tends: Dict[str, Any] = {
+            k: v for k, v in slow_tendencies.items() if k != "time"
+        }
+        fast_tends = merge_tendencies(fast_tends, fdc_tendencies, None)
+
+        ftc = self.fast_tendency_component
+        if ftc is not None:
+            with Timer.timing("call_fast_tendency_component"):
+                fast_tends, ftc_diags = ftc(
+                    tmp_state, timedelta(seconds=dt), out_tendencies=fast_tends
+                )
+                tmp_state = self._dict_op.update(tmp_state, ftc_diags)
+
+        # raw extraction (unit conversion at the boundary)
+        raw_state = get_array_dict(tmp_state, self.stage_input_properties)
+        if "time" in tmp_state:
+            raw_state["time"] = tmp_state["time"]
+        raw_tends = get_array_dict(
+            {k: v for k, v in fast_tends.items() if k in self.stage_tendency_properties},
+            {
+                k: p
+                for k, p in self.stage_tendency_properties.items()
+                if k in fast_tends
+            },
+        )
+
+        with Timer.timing("stage"):
+            raw_out = self.stage_array_call(stage, raw_state, raw_tends, dt)
+
+        # wrap + carry over non-stepped variables (incl. the per-stage time a
+        # scheme-aware stepper may have set)
+        stage_state: Dict[str, Any] = dict(tmp_state)
+        if "time" in raw_out:
+            stage_state["time"] = raw_out["time"]
+        for name, arr in raw_out.items():
+            if name == "time":
+                continue
+            props = self.stage_output_properties.get(name, {})
+            stage_state[name] = FieldArray(
+                arr, props.get("units", "1"), field_dims(name)
+            )
+
+        # fast diagnostic component on the stage output
+        new_fdc_tends: Dict[str, Any] = {}
+        fdc = self.fast_diagnostic_component
+        if fdc is not None:
+            with Timer.timing("call_fast_diagnostic_component"):
+                new_fdc_tends, fdc_diags = fdc(stage_state, timedelta(seconds=dt))
+                stage_state = self._dict_op.update(stage_state, fdc_diags)
+            new_fdc_tends.pop("time", None)
+
+        return stage_state, new_fdc_tends

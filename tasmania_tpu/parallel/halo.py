@@ -1,0 +1,95 @@
+"""Halo exchange over a 2-D device mesh via ``lax.ppermute``.
+
+The TPU-native replacement for the reference's single-device ghost-layer
+machinery (``domain/horizontal_boundary.py``; SURVEY.md §5.8): each shard holds
+a ``(bx+2nb, by+2nb, nz)`` block; interior edges are filled from neighbours by
+neighbour-exchange collectives that XLA maps onto ICI, while true domain edges
+are left for the physical boundary conditions.
+
+These functions must be called *inside* ``shard_map`` with mesh axis names
+bound.  The exchange is issued as two independent ppermute pairs per axis, so
+XLA can overlap the transfers with unrelated compute between issue and use.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _take(f, axis: int, sl: slice):
+    idx = [slice(None)] * f.ndim
+    idx[axis] = sl
+    return f[tuple(idx)]
+
+
+def _put(f, axis: int, sl: slice, value):
+    idx = [slice(None)] * f.ndim
+    idx[axis] = sl
+    return f.at[tuple(idx)].set(value)
+
+
+def halo_exchange_axis(
+    f,
+    nb: int,
+    axis: int,
+    axis_name: str,
+    periodic: bool = True,
+):
+    """Fill the ``nb``-wide halos of ``f`` along ``axis`` from the neighbouring
+    shards on mesh axis ``axis_name``."""
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        if periodic:
+            # single shard owns the whole ring: wrap locally
+            m = f.shape[axis]
+            f = _put(f, axis, slice(0, nb), _take(f, axis, slice(m - 2 * nb, m - nb)))
+            f = _put(f, axis, slice(m - nb, m), _take(f, axis, slice(nb, 2 * nb)))
+        return f
+
+    send_hi = _take(f, axis, slice(f.shape[axis] - 2 * nb, f.shape[axis] - nb))
+    send_lo = _take(f, axis, slice(nb, 2 * nb))
+
+    if periodic:
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+    else:
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        bwd = [(i, i - 1) for i in range(1, n)]
+
+    from_left = lax.ppermute(send_hi, axis_name, fwd)  # fills my low halo
+    from_right = lax.ppermute(send_lo, axis_name, bwd)  # fills my high halo
+
+    idx = lax.axis_index(axis_name)
+    has_left = periodic or (idx > 0)
+    has_right = periodic or (idx < n - 1)
+
+    lo_halo = _take(f, axis, slice(0, nb))
+    hi_halo = _take(f, axis, slice(f.shape[axis] - nb, f.shape[axis]))
+    f = _put(
+        f, axis, slice(0, nb), jnp.where(has_left, from_left, lo_halo)
+    )
+    f = _put(
+        f,
+        axis,
+        slice(f.shape[axis] - nb, f.shape[axis]),
+        jnp.where(has_right, from_right, hi_halo),
+    )
+    return f
+
+
+def halo_exchange(
+    f,
+    nb: int,
+    axis_names: Tuple[str, str] = ("x", "y"),
+    periodic: Tuple[bool, bool] = (True, True),
+):
+    """Exchange halos along both horizontal axes (x first, then y including the
+    just-filled x-halos, so corner ghosts are consistent)."""
+    f = halo_exchange_axis(f, nb, 0, axis_names[0], periodic[0])
+    f = halo_exchange_axis(f, nb, 1, axis_names[1], periodic[1])
+    return f
