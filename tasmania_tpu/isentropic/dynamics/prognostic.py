@@ -1,0 +1,336 @@
+"""Prognostic (stage) schemes of the isentropic dynamical core.
+
+TPU-native re-design of reference
+``src/tasmania/isentropic/dynamics/prognostic.py:54`` and
+``subclasses/prognostics/{forward_euler_si,centered_si,rk3ws_si}.py``:
+semi-implicit schemes treating horizontal advection explicitly and the
+pressure-gradient (Montgomery) term implicitly with off-centering ``eps``.
+Each stage: flux-form step of density (+ water species) → lateral BC on the
+stepped density → Montgomery recomputation (cumsum scan) → momentum step with
+``(1−eps)·s_now·∇mtg_now + eps·s_new·∇mtg_new``
+(reference ``rk3ws_si.py:105-231``, step stencils
+``subclasses/prognostics/utils.py:44,138``).
+
+Functional: ``stage_call`` maps raw dicts to a new raw dict; the stage-0 "now"
+capture mirrors the reference's pointers and is trace-safe (all stages trace
+within one jitted dycore call).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+from tasmania_tpu.framework.base_components import DomainComponent
+from tasmania_tpu.framework.options import BackendOptions, StorageOptions
+from tasmania_tpu.framework.registry import factor_register, factorize
+from tasmania_tpu.framework.stencil import StencilFactory
+from tasmania_tpu.isentropic.dynamics.diagnostics import IsentropicDiagnostics
+from tasmania_tpu.isentropic.dynamics.horizontal_fluxes import (
+    IsentropicMinimalHorizontalFlux,
+)
+from tasmania_tpu.utils.array import get_namespace
+
+mfwv = "mass_fraction_of_water_vapor_in_air"
+mfcw = "mass_fraction_of_cloud_liquid_water_in_air"
+mfpw = "mass_fraction_of_precipitation_water_in_air"
+
+
+def _paste_interior(base, interior, nb, xp):
+    """base with the (nb..-nb, nb..-nb) horizontal window replaced."""
+    sl = (slice(nb, base.shape[0] - nb), slice(nb, base.shape[1] - nb))
+    if xp is np:
+        out = np.array(base, copy=True)
+        out[sl] = interior
+        return out
+    return base.at[sl].set(interior)
+
+
+class IsentropicPrognostic(DomainComponent, StencilFactory):
+    """ABC + factory (reference ``prognostic.py:54``)."""
+
+    registry = {}
+
+    def __init__(
+        self,
+        horizontal_flux_scheme: str,
+        domain,
+        moist: bool,
+        *,
+        backend: str = "jax",
+        backend_options: Optional[BackendOptions] = None,
+        storage_options: Optional[StorageOptions] = None,
+        **kwargs,
+    ) -> None:
+        DomainComponent.__init__(self, domain, "numerical")
+        StencilFactory.__init__(self, backend, backend_options, storage_options)
+        self._moist = moist
+        self._hflux = IsentropicMinimalHorizontalFlux.factory(
+            horizontal_flux_scheme, backend=backend
+        )
+        g = self.grid
+        hb = self.horizontal_boundary
+        # invariant nb >= flux extent (reference ``prognostic.py:117-130``)
+        assert hb.nb >= self._hflux.extent, (
+            f"nb={hb.nb} must be >= flux extent {self._hflux.extent}"
+        )
+        assert g.nx >= 2 * hb.nb + 1 and g.ny >= 2 * hb.nb + 1
+
+        # semi-implicit parameters (reference ``rk3ws_si.py:66-69``)
+        pt = kwargs.get("pt", 0.0)
+        if hasattr(pt, "to_units"):
+            pt = float(np.asarray(pt.to_units("Pa").data))
+        self._pt = float(pt)
+        self._eps = float(kwargs.get("eps", 0.5))
+        assert 0.0 <= self._eps <= 1.0, "off-centering eps must be in [0, 1]"
+
+        self._diagnostics = IsentropicDiagnostics(
+            self.grid,
+            backend=backend,
+            backend_options=backend_options,
+            storage_options=storage_options,
+        )
+
+        # "now" pointers captured at stage 0
+        self._now: Dict[str, Any] = {}
+
+    @property
+    def stages(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def substep_fractions(self):
+        raise NotImplementedError
+
+    @staticmethod
+    def factory(time_integration_scheme: str, horizontal_flux_scheme: str, domain, moist, **kwargs):
+        return factorize(
+            time_integration_scheme,
+            IsentropicPrognostic,
+            (horizontal_flux_scheme, domain, moist),
+            kwargs,
+        )
+
+    # -- shared stage machinery ------------------------------------------------- #
+    def _grid_spacings(self) -> Tuple[float, float]:
+        dx = float(np.asarray(self.grid.dx.to_units("m").data))
+        dy = float(np.asarray(self.grid.dy.to_units("m").data))
+        return dx, dy
+
+    def _flux_div(self, flux_x, flux_y, nb: int, dx: float, dy: float):
+        """Flux divergence on the interior window (cells nb..n-nb); flux index
+        of face f is f - extent (see horizontal_fluxes.py index convention)."""
+        e = self._hflux.extent
+        nxc = flux_x.shape[0] + 2 * e - 1  # number of cells
+        nyc = flux_y.shape[1] + 2 * e - 1
+        ip = slice(nb - e + 1, nb - e + 1 + (nxc - 2 * nb))
+        im = slice(nb - e, nb - e + (nxc - 2 * nb))
+        jp = slice(nb - e + 1, nb - e + 1 + (nyc - 2 * nb))
+        jm = slice(nb - e, nb - e + (nyc - 2 * nb))
+        jin = slice(nb, nyc - nb)
+        iin = slice(nb, nxc - nb)
+        return (flux_x[ip, jin] - flux_x[im, jin]) / dx + (
+            flux_y[iin, jp] - flux_y[iin, jm]
+        ) / dy
+
+    def _step_density_and_water(self, dt, state, tendencies, s_now_dict):
+        """First stencil: step s (+ sqv, sqc, sqr)
+        (reference ``utils.py:44`` ``step_forward_euler``)."""
+        nb = self.horizontal_boundary.nb
+        dx, dy = self._grid_spacings()
+        xp = get_namespace(state["air_isentropic_density"])
+
+        s_int = state["air_isentropic_density"]
+        u_int = state["x_velocity_at_u_locations"]
+        v_int = state["y_velocity_at_v_locations"]
+        iin = slice(nb, s_int.shape[0] - nb)
+        jin = slice(nb, s_int.shape[1] - nb)
+
+        out: Dict[str, Any] = {}
+
+        def step_one(name, phi_now, phi_int, tnd, scale_by_s):
+            fx = self._hflux.flux_x(u_int, phi_int)
+            fy = self._hflux.flux_y(v_int, phi_int)
+            div = self._flux_div(fx, fy, nb, dx, dy)
+            rhs = div
+            if tnd is not None:
+                src = s_int[iin, jin] * tnd[iin, jin] if scale_by_s else tnd[iin, jin]
+                rhs = rhs - src
+            interior = phi_now[iin, jin] - dt * rhs
+            return _paste_interior(phi_now, interior, nb, xp)
+
+        out["air_isentropic_density"] = step_one(
+            "s",
+            s_now_dict["air_isentropic_density"],
+            s_int,
+            tendencies.get("air_isentropic_density"),
+            False,
+        )
+        if self._moist:
+            for sq_name, q_tnd_name in (
+                ("isentropic_density_of_water_vapor", mfwv),
+                ("isentropic_density_of_cloud_liquid_water", mfcw),
+                ("isentropic_density_of_precipitation_water", mfpw),
+            ):
+                out[sq_name] = step_one(
+                    sq_name,
+                    s_now_dict[sq_name],
+                    state[sq_name],
+                    tendencies.get(q_tnd_name),
+                    True,
+                )
+        return out
+
+    def _step_momentum(self, dt, state, tendencies, s_now_dict, s_new, mtg_new):
+        """Second stencil: momenta with semi-implicit pressure gradient
+        (reference ``utils.py:138`` ``step_forward_euler_momentum``)."""
+        nb = self.horizontal_boundary.nb
+        dx, dy = self._grid_spacings()
+        eps = self._eps
+        xp = get_namespace(s_new)
+
+        s_now = s_now_dict["air_isentropic_density"]
+        mtg_now = s_now_dict["montgomery_potential"]
+        su_now = s_now_dict["x_momentum_isentropic"]
+        sv_now = s_now_dict["y_momentum_isentropic"]
+        u_int = state["x_velocity_at_u_locations"]
+        v_int = state["y_velocity_at_v_locations"]
+        su_int = state["x_momentum_isentropic"]
+        sv_int = state["y_momentum_isentropic"]
+        su_tnd = tendencies.get("x_momentum_isentropic")
+        sv_tnd = tendencies.get("y_momentum_isentropic")
+
+        nx, ny = s_new.shape[0], s_new.shape[1]
+        iin = slice(nb, nx - nb)
+        jin = slice(nb, ny - nb)
+        ip1 = slice(nb + 1, nx - nb + 1)
+        im1 = slice(nb - 1, nx - nb - 1)
+        jp1 = slice(nb + 1, ny - nb + 1)
+        jm1 = slice(nb - 1, ny - nb - 1)
+
+        div_su = self._flux_div(
+            self._hflux.flux_x(u_int, su_int), self._hflux.flux_y(v_int, su_int), nb, dx, dy
+        )
+        div_sv = self._flux_div(
+            self._hflux.flux_x(u_int, sv_int), self._hflux.flux_y(v_int, sv_int), nb, dx, dy
+        )
+
+        pgx = (1.0 - eps) * s_now[iin, jin] * (
+            mtg_now[ip1, jin] - mtg_now[im1, jin]
+        ) / (2.0 * dx) + eps * s_new[iin, jin] * (
+            mtg_new[ip1, jin] - mtg_new[im1, jin]
+        ) / (2.0 * dx)
+        pgy = (1.0 - eps) * s_now[iin, jin] * (
+            mtg_now[iin, jp1] - mtg_now[iin, jm1]
+        ) / (2.0 * dy) + eps * s_new[iin, jin] * (
+            mtg_new[iin, jp1] - mtg_new[iin, jm1]
+        ) / (2.0 * dy)
+
+        su_rhs = div_su + pgx
+        if su_tnd is not None:
+            su_rhs = su_rhs - su_tnd[iin, jin]
+        sv_rhs = div_sv + pgy
+        if sv_tnd is not None:
+            sv_rhs = sv_rhs - sv_tnd[iin, jin]
+
+        su_new = _paste_interior(su_now, su_now[iin, jin] - dt * su_rhs, nb, xp)
+        sv_new = _paste_interior(sv_now, sv_now[iin, jin] - dt * sv_rhs, nb, xp)
+        return su_new, sv_new
+
+    def _si_stage(self, dt: float, state, tendencies) -> Dict[str, Any]:
+        """One semi-implicit stage from the captured "now" state."""
+        hb = self.horizontal_boundary
+        out = self._step_density_and_water(dt, state, tendencies, self._now)
+        # lateral BC on stepped density (reference ``rk3ws_si.py:183-189``)
+        out["air_isentropic_density"] = hb.enforce_field(
+            out["air_isentropic_density"],
+            "air_isentropic_density",
+            "kg m^-2 K^-1",
+            time=None,
+        )
+        # Montgomery from the stepped density (reference ``rk3ws_si.py:193-196``)
+        mtg_new = self._diagnostics.get_montgomery_potential(
+            out["air_isentropic_density"], self._pt
+        )
+        su_new, sv_new = self._step_momentum(
+            dt, state, tendencies, self._now, out["air_isentropic_density"], mtg_new
+        )
+        out["x_momentum_isentropic"] = su_new
+        out["y_momentum_isentropic"] = sv_new
+        return out
+
+    def _capture_now(self, state) -> None:
+        names = [
+            "air_isentropic_density",
+            "montgomery_potential",
+            "x_momentum_isentropic",
+            "y_momentum_isentropic",
+        ]
+        if self._moist:
+            names += [
+                "isentropic_density_of_water_vapor",
+                "isentropic_density_of_cloud_liquid_water",
+                "isentropic_density_of_precipitation_water",
+            ]
+        self._now = {n: state[n] for n in names}
+
+    def stage_call(self, stage: int, timestep: float, state, tendencies) -> Dict[str, Any]:
+        raise NotImplementedError
+
+
+@factor_register("forward_euler_si")
+class ForwardEulerSI(IsentropicPrognostic):
+    """Single-stage semi-implicit scheme
+    (reference ``subclasses/prognostics/forward_euler_si.py:37``)."""
+
+    @property
+    def stages(self) -> int:
+        return 1
+
+    @property
+    def substep_fractions(self):
+        return 1.0
+
+    def stage_call(self, stage, timestep, state, tendencies):
+        self._capture_now(state)
+        return self._si_stage(timestep, state, tendencies or {})
+
+
+@factor_register("centered_si")
+class CenteredSI(IsentropicPrognostic):
+    """Placeholder parity with the reference's stub
+    (reference ``subclasses/prognostics/centered_si.py:27`` defines only the
+    class/name; selecting it raises on use there as well)."""
+
+    @property
+    def stages(self) -> int:
+        raise NotImplementedError("centered_si is a stub in the reference too")
+
+    @property
+    def substep_fractions(self):
+        raise NotImplementedError
+
+    def stage_call(self, stage, timestep, state, tendencies):
+        raise NotImplementedError
+
+
+@factor_register("rk3ws_si")
+class RK3WSSI(IsentropicPrognostic):
+    """Three-stage semi-implicit Wicker–Skamarock RK
+    (reference ``subclasses/prognostics/rk3ws_si.py:37``): per-stage dt =
+    dt/3, dt/2, dt (``:115-124``)."""
+
+    @property
+    def stages(self) -> int:
+        return 3
+
+    @property
+    def substep_fractions(self):
+        return (1.0 / 3.0, 0.5, 1.0)
+
+    def stage_call(self, stage, timestep, state, tendencies):
+        if stage == 0:
+            self._capture_now(state)
+        frac = self.substep_fractions[stage]
+        return self._si_stage(frac * timestep, state, tendencies or {})
