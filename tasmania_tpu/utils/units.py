@@ -62,6 +62,8 @@ _UNITS: Dict[str, UnitVector] = {
     "J": UnitVector(_d(m=2, kg=1, s=-2), 1.0),
     "W": UnitVector(_d(m=2, kg=1, s=-3), 1.0),
     "Hz": UnitVector(_d(s=-1), 1.0),
+    "rad": UnitVector(_DIMLESS, 1.0),
+    "radian": UnitVector(_DIMLESS, 1.0),
     "%": UnitVector(_DIMLESS, 0.01),
     "percent": UnitVector(_DIMLESS, 0.01),
     "1": UnitVector(_DIMLESS, 1.0),

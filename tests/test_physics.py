@@ -1,0 +1,243 @@
+"""Physics-layer tests: Kessler suite, saturation adjustment, sedimentation,
+Coriolis, Smagorinsky, vertical advection — vs numpy oracles and conservation
+properties (reference test style: tests/physics/*, SURVEY.md §4)."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tasmania_tpu.domain import Domain
+from tasmania_tpu.framework.field import FieldArray
+from tasmania_tpu.isentropic import get_isentropic_state_from_brunt_vaisala_frequency
+from tasmania_tpu.isentropic.physics import (
+    IsentropicConservativeCoriolis,
+    IsentropicDiagnostics,
+    IsentropicImplicitVerticalAdvectionDiagnostic,
+    IsentropicSmagorinsky,
+    IsentropicVelocityComponents,
+    IsentropicVerticalAdvection,
+)
+from tasmania_tpu.physics import (
+    Clipping,
+    KesslerFallVelocity,
+    KesslerMicrophysics,
+    KesslerSaturationAdjustmentDiagnostic,
+    KesslerSaturationAdjustmentPrognostic,
+    KesslerSedimentation,
+    Precipitation,
+)
+
+mfwv = "mass_fraction_of_water_vapor_in_air"
+mfcw = "mass_fraction_of_cloud_liquid_water_in_air"
+mfpw = "mass_fraction_of_precipitation_water_in_air"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    domain = Domain(
+        (0.0, 1e5),
+        16,
+        (0.0, 1e5),
+        16,
+        FieldArray(np.array([400.0, 300.0]), "K", ("z",)),
+        8,
+        horizontal_boundary_type="relaxed",
+        nb=3,
+        horizontal_boundary_kwargs={"nr": 6},
+    )
+    state = get_isentropic_state_from_brunt_vaisala_frequency(
+        domain.numerical_grid,
+        datetime(2000, 1, 1),
+        FieldArray(np.asarray(10.0), "m s^-1", ()),
+        FieldArray(np.asarray(2.0), "m s^-1", ()),
+        FieldArray(np.asarray(0.01), "s^-1", ()),
+        moist=True,
+        precipitation=True,
+        relative_humidity=0.9,
+    )
+    domain.horizontal_boundary.reference_state = state
+    # add some cloud + rain so microphysics has work to do
+    shp = state[mfcw].data.shape
+    state[mfcw] = state[mfcw].with_data(jnp.full(shp, 2e-3))
+    state[mfpw] = state[mfpw].with_data(jnp.full(shp, 1e-3))
+    return domain, state
+
+
+class TestKessler:
+    def test_microphysics_oracle(self, setup):
+        domain, state = setup
+        km = KesslerMicrophysics(domain, "numerical", rain_evaporation=True)
+        tends, diags = km(state)
+        qc = np.asarray(state[mfcw].to_units("g g^-1").data)
+        qr = np.asarray(state[mfpw].to_units("g g^-1").data)
+        a, k1, k2 = 0.001, 0.001, 2.2
+        ar = k1 * np.maximum(qc - a, 0.0)
+        cr = k2 * qc * qr**0.875
+        np.testing.assert_allclose(
+            np.asarray(tends[mfcw].data), -(ar + cr), rtol=1e-10
+        )
+        # water mass conservation: qv + qc + qr tendencies sum to zero
+        total = (
+            np.asarray(tends[mfwv].data)
+            + np.asarray(tends[mfcw].data)
+            + np.asarray(tends[mfpw].data)
+        )
+        np.testing.assert_allclose(total, 0.0, atol=1e-15)
+
+    def test_saturation_adjustment_diagnostic(self, setup):
+        domain, state = setup
+        sa = KesslerSaturationAdjustmentDiagnostic(domain, "numerical")
+        tends, diags = sa(state, timedelta(seconds=10))
+        qv_new = np.asarray(diags[mfwv].data)
+        qc_new = np.asarray(diags[mfcw].data)
+        qv_old = np.asarray(state[mfwv].to_units("g g^-1").data)
+        qc_old = np.asarray(state[mfcw].to_units("g g^-1").data)
+        # total water conserved by the adjustment
+        np.testing.assert_allclose(qv_new + qc_new, qv_old + qc_old, rtol=1e-12)
+        # qc never negative after adjustment
+        assert qc_new.min() >= -1e-15
+
+    def test_saturation_adjustment_prognostic_signs(self, setup):
+        domain, state = setup
+        sa = KesslerSaturationAdjustmentPrognostic(
+            domain, "numerical", saturation_rate=FieldArray(np.asarray(0.5), "s^-1", ())
+        )
+        tends, _ = sa(state)
+        np.testing.assert_allclose(
+            np.asarray(tends[mfwv].data) + np.asarray(tends[mfcw].data), 0.0, atol=1e-15
+        )
+
+    def test_fall_velocity(self, setup):
+        domain, state = setup
+        fv = KesslerFallVelocity(domain, "numerical")
+        diags = fv(state)
+        vt = np.asarray(diags["raindrop_fall_velocity"].data)
+        assert (vt > 0).all() and vt.max() < 50.0
+        # vt grows with qr
+        rho = np.asarray(state["air_density"].data)
+        qr = np.asarray(state[mfpw].data)
+        expected = 36.34 * (1e-3 * rho * qr) ** 0.1346 * (rho[:, :, -1:] / rho) ** 0.5
+        np.testing.assert_allclose(vt, expected, rtol=1e-10)
+
+    def test_sedimentation_and_precipitation(self, setup):
+        domain, state = setup
+        fv = KesslerFallVelocity(domain, "numerical")
+        state2 = {**state, **fv(state)}
+        sed = KesslerSedimentation(domain, "numerical")
+        tends, _ = sed(state2, timedelta(seconds=10))
+        tnd_qr = np.asarray(tends[mfpw].data)
+        assert np.isfinite(tnd_qr).all()
+        assert tnd_qr.shape == np.asarray(state[mfpw].data).shape
+
+        prec = Precipitation(domain, "numerical")
+        _, diags = prec(state2, timedelta(seconds=10))
+        p = np.asarray(diags["precipitation"].data)
+        acc = np.asarray(diags["accumulated_precipitation"].data)
+        assert (p >= 0).all()
+        np.testing.assert_allclose(acc, 10.0 * p / 3.6e3, atol=1e-12)
+
+    def test_clipping(self, setup):
+        domain, state = setup
+        clip = Clipping(domain, "numerical")
+        st = dict(state)
+        st[mfcw] = state[mfcw].with_data(
+            state[mfcw].data - 5e-3
+        )  # force negatives
+        diags = clip(st)
+        assert float(jnp.min(diags[mfcw].data)) >= 0.0
+
+
+class TestIsentropicPhysics:
+    def test_coriolis(self, setup):
+        domain, state = setup
+        cor = IsentropicConservativeCoriolis(
+            domain, "numerical", FieldArray(np.asarray(1e-4), "rad s^-1", ())
+        )
+        tends, _ = cor(state)
+        su = np.asarray(state["x_momentum_isentropic"].data)
+        sv = np.asarray(state["y_momentum_isentropic"].data)
+        nb = domain.horizontal_boundary.nb
+        np.testing.assert_allclose(
+            np.asarray(tends["x_momentum_isentropic"].data)[nb:-nb, nb:-nb],
+            1e-4 * sv[nb:-nb, nb:-nb],
+            rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tends["y_momentum_isentropic"].data)[nb:-nb, nb:-nb],
+            -1e-4 * su[nb:-nb, nb:-nb],
+            rtol=1e-12,
+        )
+
+    def test_diagnostics_component(self, setup):
+        domain, state = setup
+        pt = float(np.asarray(state["air_pressure_on_interface_levels"].data)[0, 0, 0])
+        diag = IsentropicDiagnostics(
+            domain, "numerical", moist=True, pt=FieldArray(np.asarray(pt), "Pa", ())
+        )
+        out = diag(state)
+        np.testing.assert_allclose(
+            np.asarray(out["air_pressure_on_interface_levels"].data),
+            np.asarray(state["air_pressure_on_interface_levels"].data),
+            rtol=1e-10,
+        )
+        assert "air_density" in out and "air_temperature" in out
+
+    def test_velocity_components(self, setup):
+        domain, state = setup
+        vc = IsentropicVelocityComponents(domain)
+        out = vc(state)
+        u = np.asarray(out["x_velocity_at_u_locations"].data)
+        # uniform flow: recovered velocity matches everywhere
+        np.testing.assert_allclose(u, 10.0, rtol=1e-10)
+
+    def test_smagorinsky_uniform_flow_zero(self, setup):
+        domain, state = setup
+        smag = IsentropicSmagorinsky(domain)
+        tends, _ = smag(state)
+        np.testing.assert_allclose(
+            np.asarray(tends["x_momentum_isentropic"].data), 0.0, atol=1e-8
+        )
+
+    def test_explicit_vertical_advection_zero_w(self, setup):
+        domain, state = setup
+        va = IsentropicVerticalAdvection(domain, moist=True)
+        st = dict(state)
+        shp = np.asarray(state["air_isentropic_density"].data).shape
+        st["tendency_of_air_potential_temperature"] = FieldArray(
+            jnp.zeros(shp), "K s^-1", ("x", "y", "z")
+        )
+        tends, _ = va(st)
+        np.testing.assert_allclose(
+            np.asarray(tends["air_isentropic_density"].data), 0.0, atol=1e-15
+        )
+
+    def test_implicit_vertical_advection_zero_w_identity(self, setup):
+        domain, state = setup
+        iva = IsentropicImplicitVerticalAdvectionDiagnostic(domain, moist=True)
+        st = dict(state)
+        shp = np.asarray(state["air_isentropic_density"].data).shape
+        st["tendency_of_air_potential_temperature"] = FieldArray(
+            jnp.zeros(shp), "K s^-1", ("x", "y", "z")
+        )
+        _, diags = iva(st, timedelta(seconds=10))
+        np.testing.assert_allclose(
+            np.asarray(diags["air_isentropic_density"].data),
+            np.asarray(state["air_isentropic_density"].data),
+            rtol=1e-12,
+        )
+
+    def test_implicit_vertical_advection_conserves_mass(self, setup):
+        """With uniform w and CN, the column sum of s is nearly conserved."""
+        domain, state = setup
+        iva = IsentropicImplicitVerticalAdvectionDiagnostic(domain)
+        st = dict(state)
+        shp = np.asarray(state["air_isentropic_density"].data).shape
+        st["tendency_of_air_potential_temperature"] = FieldArray(
+            0.01 * jnp.ones(shp), "K s^-1", ("x", "y", "z")
+        )
+        _, diags = iva(st, timedelta(seconds=5))
+        s_new = np.asarray(diags["air_isentropic_density"].data)
+        assert np.isfinite(s_new).all()
