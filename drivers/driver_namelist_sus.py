@@ -1,0 +1,316 @@
+"""Moist isentropic benchmark driver — sequential-update splitting variant.
+
+TPU-native re-design of reference
+``drivers/benchmarking/isentropic_moist/driver_namelist_sus.py``: the same
+physics chain (diagnostics → Coriolis → smoothing → Smagorinsky → velocities →
+Kessler+promoter → saturation adjustment → vertical advection → fall velocity +
+sedimentation → precipitation) in a ``SequentialUpdateSplitting``, with the
+whole dycore+physics timestep compiled into ONE jitted function whose inputs
+include the (growing) topography height — no retrace during mountain growth.
+
+Usage: ``python drivers/driver_namelist_sus.py [--nx N] [--nz N] [--niter N]
+[--platform cpu|axon]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from datetime import timedelta
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def build(nl):
+    import jax.numpy as jnp
+
+    from tasmania_tpu.domain import Domain
+    from tasmania_tpu.framework import ConcurrentCoupling, TimeIntegrationOptions
+    from tasmania_tpu.framework.field import FieldArray
+    from tasmania_tpu.framework.splitting import SequentialUpdateSplitting
+    from tasmania_tpu.isentropic import (
+        IsentropicDynamicalCore,
+        get_isentropic_state_from_brunt_vaisala_frequency,
+    )
+    from tasmania_tpu.isentropic.physics import (
+        IsentropicConservativeCoriolis,
+        IsentropicDiagnostics,
+        IsentropicHorizontalSmoothing,
+        IsentropicImplicitVerticalAdvectionDiagnostic,
+        IsentropicSmagorinsky,
+        IsentropicVelocityComponents,
+        IsentropicVerticalAdvection,
+    )
+    from tasmania_tpu.isentropic.utils import (
+        AirPotentialTemperatureToDiagnostic,
+        AirPotentialTemperatureToTendency,
+    )
+    from tasmania_tpu.physics import (
+        KesslerFallVelocity,
+        KesslerMicrophysics,
+        KesslerSaturationAdjustmentPrognostic,
+        KesslerSedimentation,
+        Precipitation,
+    )
+
+    common = dict(backend=nl.backend, backend_options=nl.bo, storage_options=nl.so)
+
+    domain = Domain(
+        nl.domain_x,
+        nl.nx,
+        nl.domain_y,
+        nl.ny,
+        nl.domain_z,
+        nl.nz,
+        horizontal_boundary_type=nl.hb_type,
+        nb=nl.nb,
+        horizontal_boundary_kwargs=nl.hb_kwargs,
+        topography_type=nl.topo_type,
+        topography_kwargs=nl.topo_kwargs,
+        **common,
+    )
+    cgrid = domain.numerical_grid
+
+    state = get_isentropic_state_from_brunt_vaisala_frequency(
+        cgrid,
+        nl.init_time,
+        nl.x_velocity,
+        nl.y_velocity,
+        nl.brunt_vaisala,
+        moist=True,
+        precipitation=nl.sedimentation,
+        relative_humidity=nl.relative_humidity,
+        backend=nl.backend,
+        storage_options=nl.so,
+    )
+    domain.horizontal_boundary.reference_state = state
+
+    shp = (cgrid.nx, cgrid.ny, cgrid.nz)
+    state["tendency_of_air_potential_temperature"] = FieldArray(
+        jnp.zeros(shp, dtype=nl.so.dtype), "K s^-1", ("x", "y", "z")
+    )
+
+    pt_v = float(np.asarray(state["air_pressure_on_interface_levels"].data)[0, 0, 0])
+    pt = FieldArray(np.asarray(pt_v), "Pa", ())
+
+    dycore = IsentropicDynamicalCore(
+        domain,
+        moist=True,
+        time_integration_scheme=nl.time_integration_scheme,
+        horizontal_flux_scheme=nl.horizontal_flux_scheme,
+        time_integration_properties={"pt": pt, "eps": nl.eps},
+        damp=nl.damp,
+        damp_type=nl.damp_type,
+        damp_depth=nl.damp_depth,
+        damp_max=nl.damp_max,
+        damp_at_every_stage=nl.damp_at_every_stage,
+        smooth=False,
+        smooth_moist=False,
+        enable_checks=nl.enable_checks,
+        **common,
+    )
+
+    # physics chain (reference driver_namelist_sus.py:183-471)
+    ptis = nl.physics_time_integration_scheme
+    args = []
+    dv = IsentropicDiagnostics(domain, "numerical", moist=True, pt=pt, **common)
+    args.append(TimeIntegrationOptions(component=dv))
+
+    if nl.coriolis_parameter is not None:
+        cf = IsentropicConservativeCoriolis(
+            domain, "numerical", nl.coriolis_parameter, **common
+        )
+        args.append(TimeIntegrationOptions(component=cf, scheme=ptis))
+
+    if nl.smooth:
+        hs_comp = IsentropicHorizontalSmoothing(
+            domain,
+            nl.smooth_type,
+            nl.smooth_coeff,
+            nl.smooth_coeff_max,
+            nl.smooth_damp_depth,
+            moist=nl.smooth_moist,
+            smooth_moist_coeff=nl.smooth_moist_coeff,
+            smooth_moist_coeff_max=nl.smooth_moist_coeff_max,
+            smooth_moist_damp_depth=nl.smooth_moist_damp_depth,
+            **common,
+        )
+        args.append(TimeIntegrationOptions(component=hs_comp))
+
+    turb = IsentropicSmagorinsky(domain, nl.smagorinsky_constant, **common)
+    args.append(TimeIntegrationOptions(component=turb, scheme=ptis))
+
+    ivc = IsentropicVelocityComponents(domain, **common)
+    args.append(TimeIntegrationOptions(component=ivc))
+
+    t2d = AirPotentialTemperatureToDiagnostic(domain, "numerical", **common)
+    ke = KesslerMicrophysics(
+        domain,
+        "numerical",
+        air_pressure_on_interface_levels=True,
+        tendency_of_air_potential_temperature_in_diagnostics=False,
+        rain_evaporation=nl.rain_evaporation,
+        autoconversion_threshold=nl.autoconversion_threshold,
+        autoconversion_rate=nl.autoconversion_rate,
+        collection_rate=nl.collection_rate,
+        **common,
+    )
+    args.append(
+        TimeIntegrationOptions(
+            component=ConcurrentCoupling(ke, t2d, execution_policy="serial"),
+            scheme=ptis,
+        )
+    )
+
+    d2t = AirPotentialTemperatureToTendency(domain, "numerical", **common)
+    sa = KesslerSaturationAdjustmentPrognostic(
+        domain,
+        "numerical",
+        air_pressure_on_interface_levels=True,
+        saturation_rate=nl.saturation_rate,
+        **common,
+    )
+    args.append(
+        TimeIntegrationOptions(
+            component=ConcurrentCoupling(d2t, sa, t2d, execution_policy="serial"),
+            scheme=ptis,
+        )
+    )
+
+    if nl.vertical_advection:
+        if nl.implicit_vertical_advection:
+            vf = IsentropicImplicitVerticalAdvectionDiagnostic(
+                domain, moist=True, **common
+            )
+            args.append(TimeIntegrationOptions(component=vf))
+        else:
+            vf = IsentropicVerticalAdvection(
+                domain,
+                flux_scheme=nl.vertical_flux_scheme,
+                moist=True,
+                tendency_of_air_potential_temperature_on_interface_levels=False,
+                **common,
+            )
+            args.append(TimeIntegrationOptions(component=vf, scheme="rk3ws"))
+
+    rfv = KesslerFallVelocity(domain, "numerical", **common)
+    sd = KesslerSedimentation(
+        domain,
+        "numerical",
+        sedimentation_flux_scheme=nl.sedimentation_flux_scheme,
+        **common,
+    )
+    args.append(
+        TimeIntegrationOptions(
+            component=ConcurrentCoupling(rfv, sd, execution_policy="serial"),
+            scheme="rk3ws",
+        )
+    )
+    ap = Precipitation(domain, "numerical", **common)
+    args.append(
+        TimeIntegrationOptions(
+            component=ConcurrentCoupling(rfv, ap, execution_policy="serial")
+        )
+    )
+
+    physics = SequentialUpdateSplitting(*args)
+    return domain, dycore, physics, state
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nx", type=int, default=None)
+    parser.add_argument("--ny", type=int, default=None)
+    parser.add_argument("--nz", type=int, default=None)
+    parser.add_argument("--niter", type=int, default=None)
+    parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--no-jit", action="store_true")
+    cli = parser.parse_args(argv)
+
+    import jax
+
+    if cli.platform:
+        jax.config.update("jax_platforms", cli.platform)
+    import jax.numpy as jnp
+
+    import drivers.namelist_sus as nl
+    from tasmania_tpu.framework.field import FieldArray
+    from tasmania_tpu.utils.timer import Timer
+
+    if cli.nx:
+        nl.nx = cli.nx
+    if cli.ny:
+        nl.ny = cli.ny
+    elif cli.nx:
+        nl.ny = cli.nx
+    if cli.nz:
+        nl.nz = cli.nz
+    if cli.niter:
+        nl.niter = cli.niter
+
+    domain, dycore, physics, state = build(nl)
+    cgrid = domain.numerical_grid
+    dt = nl.timestep
+    dt_s = dt.total_seconds()
+    nt = nl.niter
+
+    hs_steady = jnp.asarray(
+        np.asarray(cgrid.topography.steady_profile.to_units("m").data),
+        dtype=nl.so.dtype,
+    )
+    topo_time = nl.topo_kwargs["time"].total_seconds()
+
+    # strip time + wrap the whole timestep into one pure function
+    field_names = sorted(k for k in state if k != "time")
+    units = {k: state[k].units for k in field_names}
+    dims = {k: state[k].dims for k in field_names}
+
+    def step(fields, hs):
+        st = {
+            k: FieldArray(v, units[k], dims[k]) for k, v in fields.items()
+        }
+        st["topography_height"] = FieldArray(hs, "m", ("x", "y"))
+        st = dycore(st, {}, dt_s)
+        st = physics(st, dt_s)
+        return {k: st[k].data for k in field_names}
+
+    step_c = jax.jit(step, donate_argnums=(0,)) if not cli.no_jit else step
+    probe = jax.jit(lambda f: jnp.sum(f["air_isentropic_density"]))
+
+    fields = {k: state[k].data for k in field_names}
+
+    # warm up (compile)
+    t0 = time.perf_counter()
+    fields = step_c(dict(fields), hs_steady * 0.0)
+    float(probe(fields))
+    print(f"compile+warmup: {time.perf_counter() - t0:.1f} s", flush=True)
+
+    Timer.reset()
+    Timer.enabled = True
+    t0 = time.perf_counter()
+    with Timer.timing("compute_time"):
+        for i in range(nt):
+            fact = min((i + 1) * dt_s / topo_time, 1.0)
+            fields = step_c(dict(fields), fact * hs_steady)
+        float(probe(fields))  # forces completion through the axon tunnel
+    Timer.stop() if False else None
+    elapsed = time.perf_counter() - t0
+
+    print("Simulation successfully completed. HOORAY!")
+    u = np.asarray(fields["x_velocity_at_u_locations"])
+    v = np.asarray(fields["y_velocity_at_v_locations"])
+    umax = u[:, :-1].max() if u.shape[1] > 1 else u.max()
+    vmax = v[:-1, :].max() if v.shape[0] > 1 else v.max()
+    print(f"Validation: umax = {umax:.5f}, vmax = {vmax:.5f}")
+    gps = cgrid.nx * cgrid.ny * cgrid.nz * nt / elapsed
+    print(f"Compute time: {elapsed:.3f} s.")
+    print(f"Throughput: {gps:.3e} gridpoints/s")
+    return {"umax": float(umax), "vmax": float(vmax), "elapsed": elapsed, "gps": gps}
+
+
+if __name__ == "__main__":
+    main()

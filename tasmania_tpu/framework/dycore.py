@@ -174,6 +174,11 @@ class DynamicalCore(DomainComponent, StencilFactory, abc.ABC):
         raw_state = get_array_dict(tmp_state, self.stage_input_properties)
         if "time" in tmp_state:
             raw_state["time"] = tmp_state["time"]
+        if "topography_height" in tmp_state:
+            th = tmp_state["topography_height"]
+            raw_state["topography_height"] = (
+                th.to_units("m").data if isinstance(th, FieldArray) else th
+            )
         raw_tends = get_array_dict(
             {k: v for k, v in fast_tends.items() if k in self.stage_tendency_properties},
             {

@@ -17,6 +17,7 @@ from datetime import timedelta
 from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
 
 from tasmania_tpu.framework.composite import DiagnosticComponentComposite
+from tasmania_tpu.framework.concurrent_coupling import ConcurrentCoupling
 from tasmania_tpu.framework.core_components import DiagnosticComponent
 from tasmania_tpu.framework.dict_operator import DictOperator
 from tasmania_tpu.framework.field import ensure_timedelta_seconds
@@ -91,6 +92,11 @@ class SequentialUpdateSplitting:
         for comp, substeps in self._steppers:
             if _is_diagnostic(comp):
                 diags = comp(out)
+                out = self._dict_op.update(out, diags)
+            elif isinstance(comp, ConcurrentCoupling):
+                # scheme-less tendency coupling: only its diagnostics feed the
+                # state (reference SUS usage: [fall velocity + precipitation])
+                _, diags = comp(out, td)
                 out = self._dict_op.update(out, diags)
             else:
                 sub_td = td / substeps

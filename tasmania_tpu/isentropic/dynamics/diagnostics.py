@@ -59,10 +59,17 @@ class IsentropicDiagnostics(GridComponent, StencilFactory):
         self._dz = float(np.asarray(grid.dz.to_units("K").data))
 
     # -- helpers ------------------------------------------------------------- #
-    def _hs(self, xp, dtype):
-        """Current topography height (1 broadcast plane)."""
-        hs = np.asarray(self.grid.topography.profile.to_units("m").data)
-        return xp.asarray(hs[:, :, np.newaxis], dtype=dtype)
+    def _hs(self, xp, dtype, hs=None):
+        """Current topography height (1 broadcast plane).
+
+        ``hs`` (nx, ny) overrides the grid's host-side profile — the hook that
+        lets a jitted step take the growing topography as an *input* instead of
+        a trace-time constant (SURVEY.md §7 hard part)."""
+        if hs is not None:
+            arr = hs if hs.ndim == 3 else hs[:, :, None]
+            return xp.asarray(arr, dtype=dtype)
+        hs_np = np.asarray(self.grid.topography.profile.to_units("m").data)
+        return xp.asarray(hs_np[:, :, np.newaxis], dtype=dtype)
 
     def _pressure(self, s, pt: float):
         """p on interface levels via forward cumsum (reference ``:339-342``)."""
@@ -114,10 +121,10 @@ class IsentropicDiagnostics(GridComponent, StencilFactory):
         return h
 
     # -- public API (functional; reference returns via out-buffers) ----------- #
-    def get_diagnostic_variables(self, s, pt: float) -> Tuple:
+    def get_diagnostic_variables(self, s, pt: float, hs=None) -> Tuple:
         """(p, exn, mtg, h) from s + top pressure (reference ``:140``)."""
         xp = get_namespace(s)
-        hs = self._hs(xp, s.dtype)
+        hs = self._hs(xp, s.dtype, hs)
         p = self._pressure(s, pt)
         exn = self._exner(p)
         theta_s = float(self._theta[0, 0, -1])
@@ -125,19 +132,19 @@ class IsentropicDiagnostics(GridComponent, StencilFactory):
         h = self._height(p, exn, hs)
         return p, exn, mtg, h
 
-    def get_montgomery_potential(self, s, pt: float):
+    def get_montgomery_potential(self, s, pt: float, hs=None):
         """(reference ``:196``)"""
         xp = get_namespace(s)
-        hs = self._hs(xp, s.dtype)
+        hs = self._hs(xp, s.dtype, hs)
         p = self._pressure(s, pt)
         exn = self._exner(p)
         theta_s = float(self._theta[0, 0, -1])
         return self._montgomery(exn, hs, theta_s)
 
-    def get_height(self, s, pt: float):
+    def get_height(self, s, pt: float, hs=None):
         """(reference ``:240``)"""
         xp = get_namespace(s)
-        hs = self._hs(xp, s.dtype)
+        hs = self._hs(xp, s.dtype, hs)
         p = self._pressure(s, pt)
         exn = self._exner(p)
         return self._height(p, exn, hs)

@@ -249,9 +249,10 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             "kg m^-2 K^-1",
             time=None,
         )
-        # Montgomery from the stepped density (reference ``rk3ws_si.py:193-196``)
+        # Montgomery from the stepped density (reference ``rk3ws_si.py:193-196``);
+        # the state may carry the (time-dependent) topography as a traced input
         mtg_new = self._diagnostics.get_montgomery_potential(
-            out["air_isentropic_density"], self._pt
+            out["air_isentropic_density"], self._pt, hs=state.get("topography_height")
         )
         su_new, sv_new = self._step_momentum(
             dt, state, tendencies, self._now, out["air_isentropic_density"], mtg_new
