@@ -1,0 +1,81 @@
+"""Checkpoint/resume round-trip tests (reference test style: baseline NetCDF
+fixture, SURVEY.md §5.4)."""
+
+import os
+import tempfile
+from datetime import datetime
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tasmania_tpu.domain import Domain
+from tasmania_tpu.framework.field import FieldArray
+from tasmania_tpu.framework.offline_diagnostics import RMSD, RRMSD, ColumnSum
+from tasmania_tpu.isentropic import get_isentropic_state_from_brunt_vaisala_frequency
+from tasmania_tpu.utils.iox import HDF5Monitor, load_hdf5_dataset
+
+
+def make_setup():
+    domain = Domain(
+        (0.0, 1e5), 12, (0.0, 1e5), 10,
+        FieldArray(np.array([400.0, 300.0]), "K", ("z",)), 6,
+        horizontal_boundary_type="relaxed", nb=3,
+        horizontal_boundary_kwargs={"nr": 5},
+        topography_type="gaussian",
+        topography_kwargs={
+            "max_height": FieldArray(np.asarray(300.0), "m", ()),
+            "width_x": FieldArray(np.asarray(3e4), "m", ()),
+            "width_y": FieldArray(np.asarray(3e4), "m", ()),
+        },
+    )
+    state = get_isentropic_state_from_brunt_vaisala_frequency(
+        domain.numerical_grid, datetime(2000, 1, 1),
+        FieldArray(np.asarray(10.0), "m s^-1", ()),
+        FieldArray(np.asarray(0.0), "m s^-1", ()),
+        FieldArray(np.asarray(0.01), "s^-1", ()),
+    )
+    return domain, state
+
+
+def test_store_write_load_roundtrip():
+    domain, state = make_setup()
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "ck.h5")
+        mon = HDF5Monitor(path, domain)
+        mon.store(state)
+        state2 = dict(state)
+        state2["air_isentropic_density"] = state["air_isentropic_density"].with_data(
+            state["air_isentropic_density"].data * 1.01
+        )
+        mon.store(state2)
+        mon.write()
+
+        domain2, grid_type, states = load_hdf5_dataset(path)
+        assert len(states) == 2
+        assert domain2.physical_grid.nx == 12
+        assert domain2.horizontal_boundary.type == "relaxed"
+        np.testing.assert_allclose(
+            np.asarray(states[0]["air_isentropic_density"].data),
+            np.asarray(state["air_isentropic_density"].data),
+        )
+        assert states[0]["air_isentropic_density"].units == "kg m^-2 K^-1"
+        assert states[0]["time"] == datetime(2000, 1, 1)
+        # gaussian topography restored
+        h = np.asarray(domain2.physical_grid.topography.steady_profile.data)
+        assert h.max() > 100.0
+
+
+def test_offline_diagnostics():
+    domain, state = make_setup()
+    state2 = dict(state)
+    state2["air_isentropic_density"] = state["air_isentropic_density"].with_data(
+        state["air_isentropic_density"].data + 1.0
+    )
+    fields = {"air_isentropic_density": {"units": "kg m^-2 K^-1"}}
+    rmsd = RMSD(domain.numerical_grid, fields)(state, state2)
+    assert abs(rmsd["air_isentropic_density"] - 1.0) < 1e-10
+    rrmsd = RRMSD(domain.numerical_grid, fields)(state, state2)
+    assert rrmsd["air_isentropic_density"] > 0
+    cs = ColumnSum(domain.numerical_grid, "air_isentropic_density", "kg m^-2 K^-1")(state)
+    assert cs.shape == (12, 10)

@@ -7,7 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tasmania_tpu.parallel import halo_exchange, make_mesh
 from tasmania_tpu.parallel.mesh import CartesianDecomposition, _factor_2d
