@@ -39,6 +39,7 @@ class VerticalDamping(StencilFactory):
     ) -> None:
         super().__init__(backend, backend_options, storage_options)
         self._grid = grid
+        damp_depth = min(damp_depth, grid.nz)  # shallow test grids
         self._damp_depth = damp_depth
         self._tunits = time_units
 

@@ -159,7 +159,8 @@ class ParallelSplitting:
                     aux = self._dict_op.update(dict(cur), stepped)
                     _, stepped = comp(aux, sub_td)
                 # prv += stepped - state  over this process's output variables
-                prv = self._dict_op.addsub(
+                # (addsub returns only the filtered keys; merge, don't replace)
+                delta = self._dict_op.addsub(
                     prv,
                     stepped,
                     cur,
@@ -169,6 +170,7 @@ class ParallelSplitting:
                         if k in getattr(comp, "output_properties", {})
                     },
                 )
+                prv = self._dict_op.update(prv, delta)
                 cur = self._dict_op.update(cur, diagnostics)
 
         if "time" in state:
@@ -200,6 +202,11 @@ class SequentialTendencySplitting:
         for comp, substeps in self._steppers:
             if _is_diagnostic(comp):
                 diags = comp(prv)
+                prv = self._dict_op.update(prv, diags)
+            elif isinstance(comp, ConcurrentCoupling):
+                # scheme-less tendency coupling: diagnostics only, on the
+                # provisional state (mirrors the SUS handling)
+                _, diags = comp(prv, td)
                 prv = self._dict_op.update(prv, diags)
             else:
                 sub_td = td / substeps
