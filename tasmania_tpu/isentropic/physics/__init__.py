@@ -18,6 +18,9 @@ from tasmania_tpu.isentropic.physics.implicit_vertical_advection import (
     IsentropicImplicitVerticalAdvectionDiagnostic,
     IsentropicImplicitVerticalAdvectionPrognostic,
 )
+from tasmania_tpu.isentropic.physics.sequential_tendency_stepper import (
+    IsentropicVerticalAdvectionSTS,
+)
 
 __all__ = [
     "IsentropicConservativeCoriolis",
@@ -30,4 +33,5 @@ __all__ = [
     "PrescribedSurfaceHeating",
     "IsentropicImplicitVerticalAdvectionDiagnostic",
     "IsentropicImplicitVerticalAdvectionPrognostic",
+    "IsentropicVerticalAdvectionSTS",
 ]
