@@ -28,7 +28,7 @@ def build_damped_coeff(
     """(1, 1, nz) diffusivity profile with sin² ramp over the top ``damp_depth``
     levels (reference ``horizontal_diffusion.py:90-98``)."""
     gamma = coeff * np.ones((1, 1, nz), dtype=dtype)
-    n = damp_depth
+    n = min(damp_depth, nz)  # shallow grids
     if n > 0:
         pert = np.sin(0.5 * math.pi * (n - np.arange(0, n, dtype=dtype)) / n) ** 2
         gamma[:, :, :n] += (coeff_max - coeff) * pert

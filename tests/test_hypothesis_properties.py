@@ -1,0 +1,152 @@
+"""Hypothesis property tests: random grids/fields, numpy-oracle and
+backend-equivalence validation (reference test style: tests/strategies.py,
+``@hyp_settings`` with suppressed health checks, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import jax.numpy as jnp
+
+from tasmania_tpu.domain import HorizontalBoundary, PhysicalGrid
+from tasmania_tpu.dwarfs import HorizontalDiffusion, HorizontalSmoothing
+from tasmania_tpu.framework.field import FieldArray
+from tasmania_tpu.framework.stencil import compile_stencil
+
+hyp_settings = settings(
+    deadline=None,
+    max_examples=12,
+    suppress_health_check=(HealthCheck.too_slow, HealthCheck.data_too_large),
+)
+
+st_dims = st.tuples(
+    st.integers(min_value=7, max_value=20),
+    st.integers(min_value=7, max_value=20),
+    st.integers(min_value=1, max_value=6),
+)
+
+
+def make_grid(nx, ny, nz):
+    return PhysicalGrid(
+        (0.0, 1e4 * (nx - 1)),
+        nx,
+        (0.0, 1e4 * (ny - 1)),
+        ny,
+        FieldArray(np.array([400.0, 300.0]), "K", ("z",)),
+        nz,
+    )
+
+
+class TestBoundaryProperties:
+    @hyp_settings
+    @given(dims=st_dims, nb=st.integers(min_value=1, max_value=3), seed=st.integers(0, 2**31))
+    def test_periodic_roundtrip(self, dims, nb, seed):
+        nx, ny, nz = dims
+        grid = make_grid(nx, ny, nz)
+        hb = HorizontalBoundary.factory("periodic", grid, nb)
+        phi = np.random.default_rng(seed).normal(size=(nx, ny, nz))
+        num = hb.get_numerical_field(jnp.asarray(phi), "phi")
+        back = np.asarray(hb.get_physical_field(num, "phi"))
+        np.testing.assert_allclose(back, phi)
+
+    @hyp_settings
+    @given(dims=st_dims, nb=st.integers(min_value=1, max_value=3), seed=st.integers(0, 2**31))
+    def test_periodic_enforce_idempotent(self, dims, nb, seed):
+        """Applying the periodic wrap twice equals applying it once."""
+        nx, ny, nz = dims
+        grid = make_grid(nx, ny, nz)
+        hb = HorizontalBoundary.factory("periodic", grid, nb)
+        phi = np.random.default_rng(seed).normal(size=(nx + 2 * nb, ny + 2 * nb, nz))
+        once = np.asarray(hb.enforce_field(jnp.asarray(phi), "phi"))
+        twice = np.asarray(hb.enforce_field(jnp.asarray(once), "phi"))
+        np.testing.assert_allclose(twice, once)
+
+    @hyp_settings
+    @given(
+        dims=st_dims,
+        nb=st.integers(min_value=1, max_value=3),
+        nr=st.integers(min_value=3, max_value=3),
+        seed=st.integers(0, 2**31),
+    )
+    def test_relaxed_enforce_converges_to_reference(self, dims, nb, nr, seed):
+        """Repeated relaxation drives the nr-deep frame toward the reference."""
+        nx, ny, nz = dims
+        grid = make_grid(nx, ny, nz)
+        hb = HorizontalBoundary.factory("relaxed", grid, min(nb, nr), nr=nr)
+        rng = np.random.default_rng(seed)
+        ref = rng.normal(size=(nx, ny, nz))
+        hb.reference_state = {
+            "phi": FieldArray(jnp.asarray(ref), "m", ("x", "y", "z"))
+        }
+        phi = jnp.asarray(rng.normal(size=(nx, ny, nz)))
+        for _ in range(50):
+            phi = hb.enforce_field(phi, "phi", "m")
+        out = np.asarray(phi)
+        # the innermost boundary layers are pinned exactly
+        np.testing.assert_allclose(out[0, :, :], ref[0, :, :], atol=1e-8)
+        # relaxation zone has converged toward the reference
+        np.testing.assert_allclose(out[: nr - 1], ref[: nr - 1], atol=1e-3)
+
+
+class TestDwarfOracles:
+    @hyp_settings
+    @given(dims=st_dims, seed=st.integers(0, 2**31))
+    def test_diffusion_jax_vs_numpy_backend(self, dims, seed):
+        """Backend equivalence (the reference's numpy-vs-gt4py axis becomes
+        numpy-vs-jax here)."""
+        nx, ny, nz = dims
+        shape = (max(nx, 5), max(ny, 5), nz)
+        hd_j = HorizontalDiffusion.factory(
+            "second_order", shape, 1e3, 1e3, 0.5, 1.0, 2, 1, backend="jax"
+        )
+        hd_n = HorizontalDiffusion.factory(
+            "second_order", shape, 1e3, 1e3, 0.5, 1.0, 2, 1, backend="numpy"
+        )
+        phi = np.random.default_rng(seed).normal(size=shape)
+        np.testing.assert_allclose(
+            np.asarray(hd_j(jnp.asarray(phi))), hd_n(phi), atol=1e-12
+        )
+
+    @hyp_settings
+    @given(dims=st_dims, coeff=st.floats(min_value=0.1, max_value=1.0), seed=st.integers(0, 2**31))
+    def test_smoothing_bounded(self, dims, coeff, seed):
+        """Shapiro smoothing output stays within the input's range."""
+        nx, ny, nz = dims
+        shape = (max(nx, 5), max(ny, 5), nz)
+        hs = HorizontalSmoothing.factory("first_order", shape, coeff, coeff, 0, 1)
+        phi = np.random.default_rng(seed).normal(size=shape)
+        out = np.asarray(hs(jnp.asarray(phi)))
+        assert out.max() <= phi.max() + 1e-12
+        assert out.min() >= phi.min() - 1e-12
+
+
+class TestThomasProperty:
+    @hyp_settings
+    @given(
+        n=st.integers(min_value=3, max_value=40),
+        seed=st.integers(0, 2**31),
+    )
+    def test_thomas_solves_system(self, n, seed):
+        """Residual check on random diagonally-dominant systems."""
+        rng = np.random.default_rng(seed)
+        a = rng.normal(size=(3, 4, n))
+        c = rng.normal(size=(3, 4, n))
+        b = 4.0 + np.abs(rng.normal(size=(3, 4, n)))
+        d = rng.normal(size=(3, 4, n))
+        x = np.asarray(
+            compile_stencil("thomas", "jax")(
+                jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d)
+            )
+        )
+        res = np.empty_like(d)
+        res[..., 0] = b[..., 0] * x[..., 0] + c[..., 0] * x[..., 1] - d[..., 0]
+        res[..., -1] = a[..., -1] * x[..., -2] + b[..., -1] * x[..., -1] - d[..., -1]
+        for k in range(1, n - 1):
+            res[..., k] = (
+                a[..., k] * x[..., k - 1]
+                + b[..., k] * x[..., k]
+                + c[..., k] * x[..., k + 1]
+                - d[..., k]
+            )
+        assert np.abs(res).max() < 1e-8
