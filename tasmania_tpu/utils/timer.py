@@ -90,6 +90,31 @@ class Timer:
         return walk(cls._root) * factor
 
     @classmethod
+    def to_csv(cls, path: str, run_label: str = "", backend: str = "jax") -> None:
+        """Append per-node rows (reference drivers' ``exec_info_to_csv`` /
+        ``run_info_to_csv`` role, SURVEY.md §5.5)."""
+        import csv
+        import os
+
+        rows = []
+
+        def walk(node: _Node, prefix: str) -> None:
+            label = f"{prefix}/{node.label}" if prefix else node.label
+            if node.count:
+                rows.append((run_label, backend, label, node.total, node.count))
+            for c in node.children.values():
+                walk(c, label)
+
+        for c in cls._root.children.values():
+            walk(c, "")
+        write_header = not os.path.exists(path)
+        with open(path, "a", newline="") as f:
+            w = csv.writer(f)
+            if write_header:
+                w.writerow(["run", "backend", "label", "total_s", "calls"])
+            w.writerows(rows)
+
+    @classmethod
     def log(cls, out=None, units: str = "s") -> str:
         factor = {"s": 1.0, "ms": 1e3, "us": 1e6}[units]
         lines: List[str] = []
