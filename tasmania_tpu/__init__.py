@@ -7,5 +7,5 @@ Built from scratch with the capability surface of stubbiali/tasmania
 
 __version__ = "0.1.0"
 
-from tasmania_tpu import domain, framework  # noqa: F401
+from tasmania_tpu import burgers, domain, dwarfs, framework, isentropic, parallel, physics  # noqa: F401
 from tasmania_tpu.framework.field import FieldArray  # noqa: F401

@@ -92,10 +92,10 @@ def fused_advection_step(
         else:
             u_ref, v_ref, now_ref, int_ref, out_ref = refs
             tnd_ref = None
-        phi = int_ref[:]          # (TX+2e, ny, nz)
+        phi = int_ref[0]          # (TX+2e, ny, nz)
         uf = u_ref[:]             # (TX+1, ny, nz): faces of the TX output cells
-        vf = v_ref[:]             # (TX, ny, nz): v at faces nb..? handled below
-        now = now_ref[:]          # (TX, ny, nz)
+        vf = v_ref[:]             # (TX, ny+1, nz)
+        now = now_ref[0]          # (TX, ny, nz)
 
         # x-fluxes at TX+1 faces, restricted to the y interior
         jin = slice(nb, ny - nb)
@@ -135,32 +135,33 @@ def fused_advection_step(
             )
 
         div = (fx[1:] - fx[:-1]) / dx + (fy[:, 1:] - fy[:, :-1]) / dy
-        rhs = div - tnd_ref[:, jin] if has_tnd else div
-        updated = now[:, jin] - dt * rhs
-        out = now  # carry the y frame through unchanged
-        out_ref[:] = out.at[:, jin].set(updated)
+        rhs = div - tnd_ref[0, :, jin] if has_tnd else div
+        # ref-slice writes (jnp .at[].set lowers to an unsupported scatter)
+        out_ref[0, :, jin] = now[:, jin] - dt * rhs
+        out_ref[0, :, 0:nb] = now[:, 0:nb]
+        out_ref[0, :, ny - nb : ny] = now[:, ny - nb : ny]
 
+    # Mosaic: all dims of a spec must be Element (or none); last two Element
+    # dims must be full-size (or (8,128)-divisible)
     in_specs = [
         # u faces nb+ix*TX .. +TX (inclusive), full (y, z)
         pl.BlockSpec(
-            (pl.Element(TX + 1), ny, nz),
-            lambda f, ix: (nb + ix * TX, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        # v rows for the TX output cells, full (y, z); v has ny+1 in y — block
-        # covers [0, ny+1) which is the full dim
-        pl.BlockSpec(
-            (pl.Element(TX), ny + 1, nz),
+            (pl.Element(TX + 1), pl.Element(ny), pl.Element(nz)),
             lambda f, ix: (nb + ix * TX, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (pl.Squeezed(), pl.Element(TX), ny, nz),
+            (pl.Element(TX), pl.Element(ny + 1), pl.Element(nz)),
+            lambda f, ix: (nb + ix * TX, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (pl.Element(1), pl.Element(TX), pl.Element(ny), pl.Element(nz)),
             lambda f, ix: (f, nb + ix * TX, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (pl.Squeezed(), pl.Element(TX + 2 * e), ny, nz),
+            (pl.Element(1), pl.Element(TX + 2 * e), pl.Element(ny), pl.Element(nz)),
             lambda f, ix: (f, nb - e + ix * TX, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -169,7 +170,7 @@ def fused_advection_step(
     if has_tnd:
         in_specs.append(
             pl.BlockSpec(
-                (pl.Squeezed(), pl.Element(TX), ny, nz),
+                (pl.Element(1), pl.Element(TX), pl.Element(ny), pl.Element(nz)),
                 lambda f, ix: (f, nb + ix * TX, 0, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -181,7 +182,7 @@ def fused_advection_step(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (pl.Squeezed(), pl.Element(TX), ny, nz),
+            (pl.Element(1), pl.Element(TX), pl.Element(ny), pl.Element(nz)),
             lambda f, ix: (f, ix * TX, 0, 0),
             memory_space=pltpu.VMEM,
         ),

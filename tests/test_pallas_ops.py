@@ -1,0 +1,66 @@
+"""Pallas fused-kernel tests (interpret mode on CPU; the compiled path is
+exercised by the TPU bench)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tasmania_tpu.isentropic.dynamics.horizontal_fluxes import (
+    IsentropicMinimalHorizontalFlux,
+)
+from tasmania_tpu.ops import fused_advection_step
+
+
+@pytest.mark.parametrize(
+    "order,scheme", [(3, "third_order_upwind"), (5, "fifth_order_upwind")]
+)
+@pytest.mark.parametrize("with_tnd", [False, True])
+def test_fused_advection_matches_flux_library(order, scheme, with_tnd):
+    rng = np.random.default_rng(0)
+    nx, ny, nz, nb, F = 21, 17, 6, 3, 3
+    dt, dx, dy = 2.0, 100.0, 120.0
+    u = jnp.asarray(rng.normal(size=(nx + 1, ny, nz)))
+    v = jnp.asarray(rng.normal(size=(nx, ny + 1, nz)))
+    now = jnp.asarray(rng.normal(size=(F, nx, ny, nz)))
+    phi = jnp.asarray(rng.normal(size=(F, nx, ny, nz)))
+    tnd = jnp.asarray(rng.normal(size=(F, nx, ny, nz))) if with_tnd else None
+
+    out = np.asarray(
+        fused_advection_step(
+            u, v, now, phi, tnd,
+            order=order, nb=nb, dt=dt, dx=dx, dy=dy, tile_x=8, interpret=True,
+        )
+    )
+
+    flux = IsentropicMinimalHorizontalFlux.factory(scheme)
+    e = flux.extent
+    iin, jin = slice(nb, nx - nb), slice(nb, ny - nb)
+    ip = slice(nb - e + 1, nb - e + 1 + nx - 2 * nb)
+    im = slice(nb - e, nb - e + nx - 2 * nb)
+    jp = slice(nb - e + 1, nb - e + 1 + ny - 2 * nb)
+    jm = slice(nb - e, nb - e + ny - 2 * nb)
+    for f in range(F):
+        fx = np.asarray(flux.flux_x(u, phi[f]))
+        fy = np.asarray(flux.flux_y(v, phi[f]))
+        div = (fx[ip, jin] - fx[im, jin]) / dx + (fy[iin, jp] - fy[iin, jm]) / dy
+        rhs = div - np.asarray(tnd)[f][iin, jin] if with_tnd else div
+        expected = np.asarray(now)[f].copy()
+        expected[iin, jin] -= dt * rhs
+        np.testing.assert_allclose(out[f], expected, rtol=1e-12, err_msg=f"field {f}")
+
+
+def test_frame_untouched():
+    rng = np.random.default_rng(1)
+    nx, ny, nz, nb = 15, 15, 4, 3
+    u = jnp.asarray(rng.normal(size=(nx + 1, ny, nz)))
+    v = jnp.asarray(rng.normal(size=(nx, ny + 1, nz)))
+    now = jnp.asarray(rng.normal(size=(1, nx, ny, nz)))
+    phi = jnp.asarray(rng.normal(size=(1, nx, ny, nz)))
+    out = np.asarray(
+        fused_advection_step(u, v, now, phi, order=3, nb=nb, interpret=True)
+    )
+    np.testing.assert_allclose(out[0, :nb], np.asarray(now)[0, :nb])
+    np.testing.assert_allclose(out[0, -nb:], np.asarray(now)[0, -nb:])
+    np.testing.assert_allclose(out[0, :, :nb], np.asarray(now)[0, :, :nb])
+    np.testing.assert_allclose(out[0, :, -nb:], np.asarray(now)[0, :, -nb:])
