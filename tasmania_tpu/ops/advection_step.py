@@ -180,6 +180,9 @@ def fused_advection_step(
     interior = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (pl.Element(1), pl.Element(TX), pl.Element(ny), pl.Element(nz)),
