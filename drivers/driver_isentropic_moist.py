@@ -288,6 +288,7 @@ def main(argv=None):
     parser.add_argument("--nz", type=int, default=None)
     parser.add_argument("--niter", type=int, default=None)
     parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--backend", type=str, default=None)
     cli = parser.parse_args(argv)
 
     import jax
@@ -306,6 +307,8 @@ def main(argv=None):
         nl.nz = cli.nz
     if cli.niter:
         nl.niter = cli.niter
+    if cli.backend:
+        nl.backend = cli.backend
 
     domain, state, step_impl = build_variant(nl, cli.coupling)
     cgrid = domain.numerical_grid

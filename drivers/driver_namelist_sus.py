@@ -228,6 +228,7 @@ def main(argv=None):
     parser.add_argument("--nz", type=int, default=None)
     parser.add_argument("--niter", type=int, default=None)
     parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--backend", type=str, default=None)
     parser.add_argument("--no-jit", action="store_true")
     cli = parser.parse_args(argv)
 
@@ -251,6 +252,8 @@ def main(argv=None):
         nl.nz = cli.nz
     if cli.niter:
         nl.niter = cli.niter
+    if cli.backend:
+        nl.backend = cli.backend
 
     domain, dycore, physics, state = build(nl)
     cgrid = domain.numerical_grid

@@ -134,6 +134,34 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             flux_y[iin, jp] - flux_y[iin, jm]
         ) / dy
 
+    def _use_fused_kernel(self) -> bool:
+        return self._backend.startswith("pallas") and self._hflux.order in (3, 5)
+
+    def _fused(self, dt, u_int, v_int, names_now, names_int, tnds):
+        """Dispatch the stacked Pallas advection kernel (ops/advection_step)."""
+        import jax.numpy as jnp
+
+        from tasmania_tpu.ops import fused_advection_step
+
+        nb = self.horizontal_boundary.nb
+        dx, dy = self._grid_spacings()
+        phi_now = jnp.stack(names_now)
+        phi_int = jnp.stack(names_int)
+        tnd = jnp.stack(tnds) if tnds is not None else None
+        out = fused_advection_step(
+            u_int,
+            v_int,
+            phi_now,
+            phi_int,
+            tnd,
+            order=self._hflux.order,
+            nb=nb,
+            dt=float(dt),
+            dx=dx,
+            dy=dy,
+        )
+        return [out[i] for i in range(out.shape[0])]
+
     def _step_density_and_water(self, dt, state, tendencies, s_now_dict):
         """First stencil: step s (+ sqv, sqc, sqr)
         (reference ``utils.py:44`` ``step_forward_euler``)."""
@@ -148,6 +176,42 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         jin = slice(nb, s_int.shape[1] - nb)
 
         out: Dict[str, Any] = {}
+
+        if self._use_fused_kernel():
+            names = ["air_isentropic_density"]
+            if self._moist:
+                names += [
+                    "isentropic_density_of_water_vapor",
+                    "isentropic_density_of_cloud_liquid_water",
+                    "isentropic_density_of_precipitation_water",
+                ]
+            tnd_names = {
+                "air_isentropic_density": ("air_isentropic_density", False),
+                "isentropic_density_of_water_vapor": (mfwv, True),
+                "isentropic_density_of_cloud_liquid_water": (mfcw, True),
+                "isentropic_density_of_precipitation_water": (mfpw, True),
+            }
+            any_tnd = any(tendencies.get(tnd_names[n][0]) is not None for n in names)
+            tnds = None
+            if any_tnd:
+                tnds = []
+                for n in names:
+                    tn, scale = tnd_names[n]
+                    t = tendencies.get(tn)
+                    if t is None:
+                        t = xp.zeros_like(state[n])
+                    elif scale:
+                        t = s_int * t
+                    tnds.append(t)
+            stepped = self._fused(
+                dt,
+                state["x_velocity_at_u_locations"],
+                state["y_velocity_at_v_locations"],
+                [s_now_dict[n] for n in names],
+                [state[n] for n in names],
+                tnds,
+            )
+            return dict(zip(names, stepped))
 
         def step_one(name, phi_now, phi_int, tnd, scale_by_s):
             fx = self._hflux.flux_x(u_int, phi_int)
@@ -238,6 +302,57 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         sv_new = _paste_interior(sv_now, sv_now[iin, jin] - dt * sv_rhs, nb, xp)
         return su_new, sv_new
 
+    def _step_momentum_fused(self, dt, state, tendencies, s_now_dict, s_new, mtg_new):
+        """Pallas fast path: the pressure-gradient term rides the kernel's
+        source-term slot (tnd_eff = tnd − pg)."""
+        import jax.numpy as jnp
+
+        nb = self.horizontal_boundary.nb
+        dx, dy = self._grid_spacings()
+        eps = self._eps
+        xp = get_namespace(s_new)
+
+        s_now = s_now_dict["air_isentropic_density"]
+        mtg_now = s_now_dict["montgomery_potential"]
+        su_now = s_now_dict["x_momentum_isentropic"]
+        sv_now = s_now_dict["y_momentum_isentropic"]
+        su_tnd = tendencies.get("x_momentum_isentropic")
+        sv_tnd = tendencies.get("y_momentum_isentropic")
+
+        nx, ny = s_new.shape[0], s_new.shape[1]
+        iin = slice(nb, nx - nb)
+        jin = slice(nb, ny - nb)
+        ip1 = slice(nb + 1, nx - nb + 1)
+        im1 = slice(nb - 1, nx - nb - 1)
+        jp1 = slice(nb + 1, ny - nb + 1)
+        jm1 = slice(nb - 1, ny - nb - 1)
+        pgx_in = (1.0 - eps) * s_now[iin, jin] * (
+            mtg_now[ip1, jin] - mtg_now[im1, jin]
+        ) / (2.0 * dx) + eps * s_new[iin, jin] * (
+            mtg_new[ip1, jin] - mtg_new[im1, jin]
+        ) / (2.0 * dx)
+        pgy_in = (1.0 - eps) * s_now[iin, jin] * (
+            mtg_now[iin, jp1] - mtg_now[iin, jm1]
+        ) / (2.0 * dy) + eps * s_new[iin, jin] * (
+            mtg_new[iin, jp1] - mtg_new[iin, jm1]
+        ) / (2.0 * dy)
+
+        tnd_su = xp.zeros_like(su_now).at[iin, jin].set(
+            (su_tnd[iin, jin] if su_tnd is not None else 0.0) - pgx_in
+        )
+        tnd_sv = xp.zeros_like(sv_now).at[iin, jin].set(
+            (sv_tnd[iin, jin] if sv_tnd is not None else 0.0) - pgy_in
+        )
+        su_new, sv_new = self._fused(
+            dt,
+            state["x_velocity_at_u_locations"],
+            state["y_velocity_at_v_locations"],
+            [su_now, sv_now],
+            [state["x_momentum_isentropic"], state["y_momentum_isentropic"]],
+            [tnd_su, tnd_sv],
+        )
+        return su_new, sv_new
+
     def _si_stage(self, dt: float, state, tendencies) -> Dict[str, Any]:
         """One semi-implicit stage from the captured "now" state."""
         hb = self.horizontal_boundary
@@ -254,7 +369,12 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         mtg_new = self._diagnostics.get_montgomery_potential(
             out["air_isentropic_density"], self._pt, hs=state.get("topography_height")
         )
-        su_new, sv_new = self._step_momentum(
+        momentum = (
+            self._step_momentum_fused
+            if self._use_fused_kernel()
+            else self._step_momentum
+        )
+        su_new, sv_new = momentum(
             dt, state, tendencies, self._now, out["air_isentropic_density"], mtg_new
         )
         out["x_momentum_isentropic"] = su_new
