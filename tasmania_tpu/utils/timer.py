@@ -134,3 +134,19 @@ class Timer:
             with open(out, "w") as f:
                 f.write(text + "\n")
         return text
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def profile_trace(log_dir: str):
+    """Capture a jax.profiler xplane trace around a code block
+    (SURVEY.md §5.1: the reference's per-kernel exec_info role on TPU)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
