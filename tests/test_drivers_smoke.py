@@ -1,0 +1,40 @@
+"""Driver smoke tests: every coupling variant completes a few tiny steps on
+CPU with plausible validation numbers."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+@pytest.mark.parametrize("coupling", ["fc", "lfc", "ps", "sts", "sus", "ssus"])
+def test_variant_runs(coupling, monkeypatch):
+    import importlib
+
+    import drivers.namelist_sus as nl
+
+    importlib.reload(nl)
+    monkeypatch.setattr(nl, "nx", 17)
+    monkeypatch.setattr(nl, "ny", 17)
+    monkeypatch.setattr(nl, "nz", 8)
+
+    from drivers.driver_isentropic_moist import build_variant
+    from tasmania_tpu.framework.field import FieldArray
+
+    import jax.numpy as jnp
+
+    domain, state, step_impl = build_variant(nl, coupling)
+    hs = jnp.asarray(
+        np.asarray(domain.numerical_grid.topography.steady_profile.data),
+        dtype=np.float32,
+    )
+    st = {k: v for k, v in state.items() if k != "time"}
+    for _ in range(2):
+        st["topography_height"] = FieldArray(0.01 * hs, "m", ("x", "y"))
+        st = step_impl(st, 5.0)
+    u = np.asarray(st["x_velocity_at_u_locations"].data)
+    assert np.isfinite(u).all()
+    assert abs(u.max() - 22.5) < 1.0  # small perturbation of the background
