@@ -11,8 +11,6 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-import numpy as np
-
 from tasmania_tpu.dwarfs.horizontal_diffusion import (
     _interior_paste,
     build_damped_coeff,

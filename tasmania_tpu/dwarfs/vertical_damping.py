@@ -10,7 +10,7 @@ damping matrix of Durran & Klemp filled over the top ``damp_depth`` levels
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Mapping, Optional, Tuple
 
-import numpy as np
-
 from tasmania_tpu.framework.field import field_shape
 from tasmania_tpu.utils.constants import get_physical_constants
 

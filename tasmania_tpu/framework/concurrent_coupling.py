@@ -20,7 +20,6 @@ from tasmania_tpu.framework.core_components import (
     TendencyComponent,
     merge_tendencies,
 )
-from tasmania_tpu.framework.field import FieldArray
 from tasmania_tpu.framework.options import BackendOptions, StorageOptions
 from tasmania_tpu.framework.promoter import FromDiagnosticToTendency, FromTendencyToDiagnostic
 from tasmania_tpu.utils.exceptions import PropertyError

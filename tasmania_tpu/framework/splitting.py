@@ -14,7 +14,7 @@ single device program.
 from __future__ import annotations
 
 from datetime import timedelta
-from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Mapping, Sequence, Tuple
 
 from tasmania_tpu.framework.composite import DiagnosticComponentComposite
 from tasmania_tpu.framework.concurrent_coupling import ConcurrentCoupling

@@ -21,14 +21,13 @@ from __future__ import annotations
 
 import functools
 import inspect
-from typing import Any, Callable, Dict, Mapping, Optional, Sequence, Tuple
+from typing import Any, Callable, Mapping, Optional
 
 import jax
 import numpy as np
 
 from tasmania_tpu.framework.options import BackendOptions, StorageOptions
 from tasmania_tpu.framework.registry import Registry, make_decorator_registrar
-from tasmania_tpu.utils.exceptions import FactoryRegistryError
 
 #: global registries: stencil definitions and reusable subroutines
 STENCIL_REGISTRY = Registry()

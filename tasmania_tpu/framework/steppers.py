@@ -23,7 +23,7 @@ Stage algebra (verified against the reference implementations):
 from __future__ import annotations
 
 from datetime import timedelta
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 from tasmania_tpu.framework.concurrent_coupling import ConcurrentCoupling
 from tasmania_tpu.framework.dict_operator import DictOperator

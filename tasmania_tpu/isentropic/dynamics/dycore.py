@@ -15,14 +15,13 @@ parity.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Optional
 
 import numpy as np
 
 from tasmania_tpu.dwarfs.diagnostics import HorizontalVelocity, WaterConstituent
 from tasmania_tpu.dwarfs.vertical_damping import VerticalDamping
 from tasmania_tpu.framework.dycore import DynamicalCore
-from tasmania_tpu.framework.field import FieldArray
 from tasmania_tpu.framework.options import BackendOptions, StorageOptions
 from tasmania_tpu.isentropic.dynamics.prognostic import IsentropicPrognostic
 from tasmania_tpu.utils.array import get_namespace

@@ -18,7 +18,7 @@ slicing + arithmetic; XLA fuses the whole flux-divergence expression.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 from tasmania_tpu.framework.registry import factor_register, factorize
 from tasmania_tpu.utils.array import get_namespace

@@ -13,7 +13,6 @@ XLA can overlap the transfers with unrelated compute between issue and use.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -16,8 +16,7 @@ feeding the Montgomery gradient.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ strain-rate tensor from centred differences, eddy viscosity
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -7,8 +7,6 @@ numpy-pulled states, backend-agnostic (SURVEY.md §2.7).
 
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional
-
 import numpy as np
 
 from tasmania_tpu.plot.drawer import Drawer

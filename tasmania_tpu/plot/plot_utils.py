@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 
 class Animation:
     """Render a sequence of states into a movie file via a ``Plot`` monitor."""
