@@ -97,6 +97,7 @@ def make_sharded_dry_step(
     theta_s: float,
     rmat: np.ndarray,
     stage_fractions: Tuple[float, ...] = (1.0 / 3.0, 0.5, 1.0),
+    moist: bool = False,
 ):
     """Build a jitted sharded RK3WS-SI dry step.
 
@@ -114,7 +115,10 @@ def make_sharded_dry_step(
             jnp.where(gamma3 == 1.0, phi_ref, phi - gamma3 * (phi - phi_ref)),
         )
 
-    def local_step(s, su, sv, hs, gamma, mask, s_ref, su_ref, sv_ref, dt):
+    def local_step(s, su, sv, hs, gamma, mask, s_ref, su_ref, sv_ref, dt,
+                   sq=None, sq_ref=None):
+        """``sq``: optional (3, bx, by, nz) stacked water-species densities
+        (sqv, sqc, sqr) advected alongside the dry prognostics."""
         # static per-step halo fills
         hs_pad = halo_exchange(
             _pad_xy(hs, nb)[..., None], nb, ("x", "y"), (False, False)
@@ -124,6 +128,8 @@ def make_sharded_dry_step(
 
         s0, su0, sv0 = s, su, sv
         s_int, su_int, sv_int = s, su, sv
+        sq0 = sq
+        sq_int = sq
         mtg_now = None
 
         for frac in stage_fractions:
@@ -157,6 +163,16 @@ def make_sharded_dry_step(
             s_new = jnp.where(mask3, s0 - dts * divergence(sp), s0)
             s_new = relax(s_new, gamma3, s_ref)
 
+            if sq is not None:
+                sq_new = []
+                for q in range(sq.shape[0]):
+                    sqp = halo_exchange(
+                        _pad_xy(sq_int[q], nb), nb, ("x", "y"), (False, False)
+                    )
+                    val = jnp.where(mask3, sq0[q] - dts * divergence(sqp), sq0[q])
+                    sq_new.append(relax(val, gamma3, sq_ref[q]))
+                sq_stage = jnp.stack(sq_new)
+
             # second exchange: stepped density feeds the Montgomery gradient
             sn_pad = halo_exchange(_pad_xy(s_new, nb), nb, ("x", "y"), (False, False))
             mtg_new = _montgomery(sn_pad, hs_pad, cfg, theta_s)
@@ -184,21 +200,39 @@ def make_sharded_dry_step(
             sv_new = relax(sv_new, gamma3, sv_ref)
 
             s_int, su_int, sv_int = s_new, su_new, sv_new
+            if sq is not None:
+                sq_int = sq_stage
 
         # Rayleigh damping toward the reference at end of step
         s_int = s_int - dt * rmat_c * (s0 - s_ref)
         su_int = su_int - dt * rmat_c * (su0 - su_ref)
         sv_int = sv_int - dt * rmat_c * (sv0 - sv_ref)
+        if sq is not None:
+            return s_int, su_int, sv_int, sq_int
         return s_int, su_int, sv_int
 
     spec3 = P("x", "y", None)
     spec2 = P("x", "y")
-    sharded = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(spec3, spec3, spec3, spec2, spec2, spec2, spec3, spec3, spec3, None),
-        out_specs=(spec3, spec3, spec3),
-    )
+    spec4 = P(None, "x", "y", None)
+    if moist:
+        sharded = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(
+                spec3, spec3, spec3, spec2, spec2, spec2,
+                spec3, spec3, spec3, None, spec4, spec4,
+            ),
+            out_specs=(spec3, spec3, spec3, spec4),
+        )
+    else:
+        sharded = shard_map(
+            lambda *a: local_step(*a),
+            mesh=mesh,
+            in_specs=(
+                spec3, spec3, spec3, spec2, spec2, spec2, spec3, spec3, spec3, None
+            ),
+            out_specs=(spec3, spec3, spec3),
+        )
     return jax.jit(sharded), NamedSharding(mesh, spec3), NamedSharding(mesh, spec2)
 
 

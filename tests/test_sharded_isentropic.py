@@ -158,3 +158,48 @@ class TestShardedDryCore:
         np.testing.assert_allclose(s_shard / s_scale, s_single / s_scale, atol=2e-2)
         su_scale = np.abs(su_single).max()
         np.testing.assert_allclose(su_shard / su_scale, su_single / su_scale, atol=2e-2)
+
+
+class TestMoistShardedCore:
+    def test_moist_steady_state_on_mesh(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        domain, state = make_case()
+        g = domain.numerical_grid
+        mesh = make_mesh(jax.devices()[:8])
+        cfg = ShardedIsentropicConfig(
+            nb=3,
+            dx=float(np.asarray(g.dx.data)),
+            dy=float(np.asarray(g.dy.data)),
+            dz=float(np.asarray(g.dz.data)),
+            pt=float(np.asarray(state["air_pressure_on_interface_levels"].data)[0, 0, 0]),
+            eps=0.5,
+        )
+        theta_s = float(np.asarray(g.z_on_interface_levels.data)[-1])
+        from tasmania_tpu.dwarfs.vertical_damping import VerticalDamping
+
+        vd = VerticalDamping.factory("rayleigh", g, damp_depth=3)
+        gamma, mask = build_relaxed_gamma_mask(g.nx, g.ny, 3, 6)
+        step, sh3, sh2 = make_sharded_dry_step(
+            mesh, cfg, theta_s, vd._rmat[False], moist=True
+        )
+        sh4 = NamedSharding(mesh, P(None, "x", "y", None))
+        put3 = lambda x: jax.device_put(jnp.asarray(np.asarray(x)), sh3)
+        put2 = lambda x: jax.device_put(jnp.asarray(np.asarray(x)), sh2)
+        s = put3(state["air_isentropic_density"].data)
+        su = put3(state["x_momentum_isentropic"].data)
+        sv = put3(state["y_momentum_isentropic"].data)
+        sq0 = np.stack(
+            [np.asarray(state["air_isentropic_density"].data) * q
+             for q in (1e-3, 5e-4, 1e-4)]
+        )
+        sq = jax.device_put(jnp.asarray(sq0), sh4)
+        hs = put2(np.zeros((g.nx, g.ny)))
+        for _ in range(3):
+            s, su, sv, sq = step(
+                s, su, sv, hs, put2(gamma), put2(mask), s, su, sv, 20.0, sq, sq
+            )
+        np.testing.assert_allclose(np.asarray(sq), sq0, rtol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(state["air_isentropic_density"].data), rtol=1e-10
+        )
