@@ -68,6 +68,36 @@ def bench_burgers(nx=2048, ny=2048, nb=3, nt=50, dtype="float32"):
     return nx * ny * nt / elapsed
 
 
+def _run_sus_subprocess(backend: str, timeout_s: int):
+    """Run the SUS driver in a subprocess; returns gps or None on failure.
+
+    The pallas backend is 1.62x faster but a COLD axon remote compile can take
+    ~25 min; the subprocess timeout turns that into a clean fallback."""
+    import re
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                str(Path(__file__).resolve().parent / "drivers" / "driver_namelist_sus.py"),
+                "--backend",
+                backend,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        return None
+    m = re.search(r"Throughput: ([0-9.e+]+) gridpoints/s", proc.stdout)
+    return {"gps": float(m.group(1))} if m else None
+
+
 def bench_isentropic():
     """The reference's own headline benchmark: moist isentropic core,
     161x161x120, rk3ws_si + fifth_order_upwind, full Kessler physics chain
@@ -77,11 +107,14 @@ def bench_isentropic():
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+    res = _run_sus_subprocess("pallas", timeout_s=2100)
+    if res is not None:
+        return res
+    # fallback: pure-XLA backend (reliable ~30 s compile)
     from drivers.driver_namelist_sus import main as sus_main
 
-    # pallas fused-kernel backend: 1.62x the jnp path end-to-end; the axon
-    # remote-compile cache makes the warm compile ~30 s
-    return sus_main(["--backend", "pallas"])
+    return sus_main([])
 
 
 def main():
