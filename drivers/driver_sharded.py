@@ -1,4 +1,4 @@
-"""Sharded (domain-decomposed) dry isentropic benchmark driver.
+"""Sharded (domain-decomposed) isentropic benchmark driver (dry or moist).
 
 BASELINE config 5: prognostic fields block-sharded over a 2-D device mesh with
 ppermute halo exchange.  On this container only one real TPU chip is visible;
@@ -8,7 +8,12 @@ measures the shard-local compute path).  On a real pod slice the same script
 scales unchanged.
 
 Usage: ``python drivers/driver_sharded.py [--nx N] [--nz N] [--niter N]
-[--virtual N]``
+[--virtual N] [--moist]``
+
+``--moist`` runs the full-fidelity moist step: the three water-species mass
+fractions advected with per-stage mass-fraction⇄density conversion, plus
+staggered-velocity diagnosis with outermost-face pinning — the distributed
+equivalent of the single-device moist dycore's stage flow.
 """
 
 from __future__ import annotations
@@ -32,6 +37,7 @@ def main(argv=None):
     parser.add_argument("--nz", type=int, default=64)
     parser.add_argument("--niter", type=int, default=50)
     parser.add_argument("--virtual", type=int, default=0, help="N virtual CPU devices")
+    parser.add_argument("--moist", action="store_true")
     cli = parser.parse_args(argv)
 
     if cli.virtual:
@@ -84,6 +90,8 @@ def main(argv=None):
         FieldArray(np.asarray(22.5), "m s^-1", ()),
         FieldArray(np.asarray(0.0), "m s^-1", ()),
         FieldArray(np.asarray(0.015), "s^-1", ()),
+        moist=cli.moist,
+        relative_humidity=0.5,
     )
     cfg = ShardedIsentropicConfig(
         nb=nb,
@@ -96,7 +104,10 @@ def main(argv=None):
     theta_s = float(np.asarray(g.z_on_interface_levels.data)[-1])
     vd = VerticalDamping.factory("rayleigh", g, damp_depth=15, damp_coeff_max=0.0005)
     gamma, mask = build_relaxed_gamma_mask(nx, ny, nb, nr)
-    step, sh3, sh2 = make_sharded_dry_step(mesh, cfg, theta_s, vd._rmat[False])
+    step, sh3, sh2 = make_sharded_dry_step(
+        mesh, cfg, theta_s, vd._rmat[False],
+        moist=cli.moist, diagnose_velocities=cli.moist,
+    )
 
     dtype = np.float32
     put3 = lambda x: jax.device_put(jnp.asarray(np.asarray(x), dtype=dtype), sh3)
@@ -108,17 +119,42 @@ def main(argv=None):
     gam, msk = put2(gamma), put2(mask)
     s0, su0, sv0 = s, su, sv
 
+    extra = ()
+    if cli.moist:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh4 = NamedSharding(mesh, P(None, "x", "y", None))
+        mf = (
+            "mass_fraction_of_water_vapor_in_air",
+            "mass_fraction_of_cloud_liquid_water_in_air",
+            "mass_fraction_of_precipitation_water_in_air",
+        )
+        q = jax.device_put(
+            jnp.stack([jnp.asarray(np.asarray(state[k].data), dtype=dtype) for k in mf]),
+            sh4,
+        )
+        u_ref = put3(np.asarray(state["x_velocity_at_u_locations"].data)[:-1])
+        v_ref = put3(np.asarray(state["y_velocity_at_v_locations"].data)[:, :-1])
+        extra = (q, q, u_ref, v_ref)
+
     probe = jax.jit(lambda x: jnp.sum(x))
     dt = 5.0
 
+    def run_once():
+        nonlocal extra
+        out = step(s, su, sv, hs, gam, msk, s0, su0, sv0, dt, *extra)
+        if cli.moist:
+            extra = (out[3], extra[1], extra[2], extra[3])
+        return out[0], out[1], out[2]
+
     t0 = time.perf_counter()
-    s, su, sv = step(s, su, sv, hs, gam, msk, s0, su0, sv0, dt)
-    float(probe(s))
+    s_, su_, sv_ = run_once()
+    float(probe(s_))
     print(f"compile+warmup: {time.perf_counter() - t0:.1f} s", flush=True)
 
     t0 = time.perf_counter()
     for _ in range(cli.niter):
-        s, su, sv = step(s, su, sv, hs, gam, msk, s0, su0, sv0, dt)
+        s, su, sv = run_once()
     float(probe(s))
     elapsed = time.perf_counter() - t0
 

@@ -91,6 +91,11 @@ def _face_velocities(s_pad, su_pad, sv_pad):
     return u, v
 
 
+def _clip(x):
+    """Positivity clip matching ``dwarfs/diagnostics.py::WaterConstituent``."""
+    return jnp.where(x > 0.0, x, jnp.zeros_like(x))
+
+
 def make_sharded_dry_step(
     mesh: Mesh,
     cfg: ShardedIsentropicConfig,
@@ -98,13 +103,27 @@ def make_sharded_dry_step(
     rmat: np.ndarray,
     stage_fractions: Tuple[float, ...] = (1.0 / 3.0, 0.5, 1.0),
     moist: bool = False,
+    diagnose_velocities: bool = False,
 ):
-    """Build a jitted sharded RK3WS-SI dry step.
+    """Build a jitted sharded RK3WS-SI step.
 
     Inputs of the returned function (all sharded ``P('x','y',None)`` /
     ``P('x','y')``): s, su, sv (prognostics), hs (topography), gamma
     (relaxation coefficients), interior mask, and the reference fields.
-    """
+
+    With ``moist=True`` the step carries the three water-species *mass
+    fractions* ``q`` (stacked ``(3, bx, by, nz)``), performing the per-stage
+    mass-fraction⇄isentropic-density conversion with positivity clipping
+    exactly as the single-device core does (``isentropic/dynamics/dycore.py::
+    _stage_moist``; reference ``dycore.py:766-806``).
+
+    With ``diagnose_velocities=True`` the step additionally returns the
+    staggered velocities diagnosed from the final fields, with the outermost
+    global faces pinned to the reference velocities (the single-device core's
+    ``set_outermost_layers_x/y`` under relaxed boundaries).  They are returned
+    in cell-anchored layout — ``u_left[i] = u[face i]`` for ``i < nx`` — so
+    blocks stay uniform across shards; the last global face is the reference
+    value by construction (use :func:`assemble_staggered_x`/``_y``)."""
     nb = cfg.nb
     rmat_c = jnp.asarray(rmat)  # (1, 1, nz)
 
@@ -116,9 +135,11 @@ def make_sharded_dry_step(
         )
 
     def local_step(s, su, sv, hs, gamma, mask, s_ref, su_ref, sv_ref, dt,
-                   sq=None, sq_ref=None):
-        """``sq``: optional (3, bx, by, nz) stacked water-species densities
-        (sqv, sqc, sqr) advected alongside the dry prognostics."""
+                   q=None, q_ref=None, u_ref=None, v_ref=None):
+        """``q``: optional (3, bx, by, nz) stacked water-species mass
+        fractions (qv, qc, qr) advected (as s·q) alongside the dry
+        prognostics.  ``u_ref``/``v_ref``: cell-anchored staggered reference
+        velocities used to pin the outermost diagnosed faces."""
         # static per-step halo fills
         hs_pad = halo_exchange(
             _pad_xy(hs, nb)[..., None], nb, ("x", "y"), (False, False)
@@ -128,8 +149,10 @@ def make_sharded_dry_step(
 
         s0, su0, sv0 = s, su, sv
         s_int, su_int, sv_int = s, su, sv
-        sq0 = sq
-        sq_int = sq
+        # step-initial water densities, captured once (prognostic.py::
+        # _capture_now at stage 0)
+        sq0 = None if q is None else _clip(s0[None] * q)
+        q_int = q
         mtg_now = None
 
         for frac in stage_fractions:
@@ -163,15 +186,18 @@ def make_sharded_dry_step(
             s_new = jnp.where(mask3, s0 - dts * divergence(sp), s0)
             s_new = relax(s_new, gamma3, s_ref)
 
-            if sq is not None:
+            if q is not None:
+                # per-stage mass-fraction -> density conversion for the flux
+                # input (dycore.py::_stage_moist), advect, convert back below
                 sq_new = []
-                for q in range(sq.shape[0]):
+                for qi in range(q.shape[0]):
                     sqp = halo_exchange(
-                        _pad_xy(sq_int[q], nb), nb, ("x", "y"), (False, False)
+                        _pad_xy(_clip(s_int * q_int[qi]), nb),
+                        nb, ("x", "y"), (False, False),
                     )
-                    val = jnp.where(mask3, sq0[q] - dts * divergence(sqp), sq0[q])
-                    sq_new.append(relax(val, gamma3, sq_ref[q]))
-                sq_stage = jnp.stack(sq_new)
+                    sq_new.append(
+                        jnp.where(mask3, sq0[qi] - dts * divergence(sqp), sq0[qi])
+                    )
 
             # second exchange: stepped density feeds the Montgomery gradient
             sn_pad = halo_exchange(_pad_xy(s_new, nb), nb, ("x", "y"), (False, False))
@@ -200,40 +226,99 @@ def make_sharded_dry_step(
             sv_new = relax(sv_new, gamma3, sv_ref)
 
             s_int, su_int, sv_int = s_new, su_new, sv_new
-            if sq is not None:
-                sq_int = sq_stage
+            if q is not None:
+                # density -> mass fraction against the BC-enforced new density
+                # (dycore.py::_stage_moist, reference ``:798-806``), then the
+                # lateral relaxation the dycore's enforce_raw applies to the
+                # mass fractions
+                sden = jnp.where(s_new != 0.0, s_new, 1.0)
+                q_int = jnp.stack(
+                    [
+                        relax(_clip(sqk / sden), gamma3, q_ref[k])
+                        for k, sqk in enumerate(sq_new)
+                    ]
+                )
 
         # Rayleigh damping toward the reference at end of step
         s_int = s_int - dt * rmat_c * (s0 - s_ref)
         su_int = su_int - dt * rmat_c * (su0 - su_ref)
         sv_int = sv_int - dt * rmat_c * (sv0 - sv_ref)
-        if sq is not None:
-            return s_int, su_int, sv_int, sq_int
-        return s_int, su_int, sv_int
+
+        out = (s_int, su_int, sv_int)
+        if q is not None:
+            out = out + (q_int,)
+        if u_ref is not None:
+            # diagnose staggered velocities from the final fields — face i of
+            # cell i averages cells i-1, i (the neighbour cell coming from the
+            # halo) — with the outermost global faces pinned to the reference
+            # (dycore.py velocity closure: get_velocity_components +
+            # set_outermost_layers under relaxed boundaries)
+            sp = halo_exchange(_pad_xy(s_int, nb), nb, ("x", "y"), (False, False))
+            sup = halo_exchange(_pad_xy(su_int, nb), nb, ("x", "y"), (False, False))
+            svp = halo_exchange(_pad_xy(sv_int, nb), nb, ("x", "y"), (False, False))
+            bx, by = s_int.shape[0], s_int.shape[1]
+            cm = slice(nb - 1, nb - 1 + bx)
+            cc = slice(nb, nb + bx)
+            sx = sp[cm] + sp[cc]
+            u_new = (sup[cm] + sup[cc]) / jnp.where(sx != 0.0, sx, 1.0)
+            dm = slice(nb - 1, nb - 1 + by)
+            dc = slice(nb, nb + by)
+            sy = sp[:, dm] + sp[:, dc]
+            v_new = (svp[:, dm] + svp[:, dc]) / jnp.where(sy != 0.0, sy, 1.0)
+            # trim the y/x paddings picked up from the padded inputs
+            u_new = u_new[:, nb : nb + by]
+            v_new = v_new[nb : nb + bx]
+            # pin the first global face (the last global face is not stored;
+            # it equals the reference by the relaxed-BC pinning — see
+            # assemble_staggered_x/_y)
+            on_x_edge = lax.axis_index("x") == 0
+            row0 = jnp.where(on_x_edge, u_ref[:1], u_new[:1])
+            u_new = jnp.concatenate([row0, u_new[1:]], axis=0)
+            on_y_edge = lax.axis_index("y") == 0
+            col0 = jnp.where(on_y_edge, v_ref[:, :1], v_new[:, :1])
+            v_new = jnp.concatenate([col0, v_new[:, 1:]], axis=1)
+            out = out + (u_new, v_new)
+        return out
 
     spec3 = P("x", "y", None)
     spec2 = P("x", "y")
     spec4 = P(None, "x", "y", None)
+    in_specs = (
+        spec3, spec3, spec3, spec2, spec2, spec2, spec3, spec3, spec3, None
+    )
+    out_specs = (spec3, spec3, spec3)
     if moist:
-        sharded = shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(
-                spec3, spec3, spec3, spec2, spec2, spec2,
-                spec3, spec3, spec3, None, spec4, spec4,
-            ),
-            out_specs=(spec3, spec3, spec3, spec4),
+        in_specs = in_specs + (spec4, spec4)
+        out_specs = out_specs + (spec4,)
+    if diagnose_velocities:
+        in_specs = in_specs + (spec3, spec3)
+        out_specs = out_specs + (spec3, spec3)
+
+    if moist and diagnose_velocities:
+        fn = local_step
+    elif moist:
+        fn = lambda *a: local_step(*a)
+    elif diagnose_velocities:
+        fn = lambda s, su, sv, hs, g, m, sr, sur, svr, dt, ur, vr: local_step(
+            s, su, sv, hs, g, m, sr, sur, svr, dt, None, None, ur, vr
         )
     else:
-        sharded = shard_map(
-            lambda *a: local_step(*a),
-            mesh=mesh,
-            in_specs=(
-                spec3, spec3, spec3, spec2, spec2, spec2, spec3, spec3, spec3, None
-            ),
-            out_specs=(spec3, spec3, spec3),
-        )
+        fn = lambda *a: local_step(*a)
+
+    sharded = shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     return jax.jit(sharded), NamedSharding(mesh, spec3), NamedSharding(mesh, spec2)
+
+
+def assemble_staggered_x(u_left, u_ref_full):
+    """Full ``(nx+1, ny, nz)`` staggered field from the step's cell-anchored
+    ``u_left`` output: the last global face equals the reference (relaxed-BC
+    outermost-layer pinning), so append it from ``u_ref_full``."""
+    return jnp.concatenate([u_left, u_ref_full[-1:]], axis=0)
+
+
+def assemble_staggered_y(v_bot, v_ref_full):
+    """Full ``(nx, ny+1, nz)`` staggered field (see assemble_staggered_x)."""
+    return jnp.concatenate([v_bot, v_ref_full[:, -1:]], axis=1)
 
 
 def build_relaxed_gamma_mask(nx: int, ny: int, nb: int, nr: int) -> Tuple[np.ndarray, np.ndarray]:
