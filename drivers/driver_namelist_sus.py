@@ -9,7 +9,14 @@ whole dycore+physics timestep compiled into ONE jitted function whose inputs
 include the (growing) topography height — no retrace during mountain growth.
 
 Usage: ``python drivers/driver_namelist_sus.py [--nx N] [--nz N] [--niter N]
-[--platform cpu|axon]``
+[--platform cpu|axon] [--spmd] [--virtual N]``
+
+``--spmd`` shards the ENTIRE dycore+physics timestep over all visible devices
+by annotating input shardings ``P('x', 'y', None)`` on a 2-D mesh and letting
+XLA's SPMD partitioner insert the halo collectives — the "pick a mesh,
+annotate shardings, let XLA insert collectives" recipe.  The hand-written
+``shard_map`` path (drivers/driver_sharded.py) is the explicit alternative for
+the dynamical core alone.
 """
 
 from __future__ import annotations
@@ -230,7 +237,25 @@ def main(argv=None):
     parser.add_argument("--platform", type=str, default=None)
     parser.add_argument("--backend", type=str, default=None)
     parser.add_argument("--no-jit", action="store_true")
+    parser.add_argument(
+        "--profile", type=str, default=None, metavar="LOGDIR",
+        help="capture a jax.profiler trace of the timed loop into LOGDIR",
+    )
+    parser.add_argument(
+        "--spmd", action="store_true",
+        help="shard the whole step over all visible devices (GSPMD)",
+    )
+    parser.add_argument("--virtual", type=int, default=0, help="N virtual CPU devices")
     cli = parser.parse_args(argv)
+
+    if cli.virtual:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={cli.virtual}"
+        ).strip()
+        cli.platform = "cpu"
 
     import jax
 
@@ -286,21 +311,49 @@ def main(argv=None):
 
     fields = {k: state[k].data for k in field_names}
 
+    if cli.spmd:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tasmania_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.devices())
+        print(f"SPMD mesh: {mesh.devices.shape}")
+
+        def _sharding(v):
+            # shard each horizontal axis only where the size divides the mesh
+            # (staggered n+1 fields replicate along that axis; XLA gathers at
+            # use sites) — pick nx, ny divisible by the mesh for full scaling
+            nd = getattr(v, "ndim", 0)
+            spec = []
+            for ax, name in zip(range(min(nd, 2)), ("x", "y")):
+                spec.append(
+                    name if v.shape[ax] % mesh.devices.shape[ax] == 0 else None
+                )
+            spec += [None] * (nd - len(spec))
+            return NamedSharding(mesh, P(*spec))
+
+        fields = {k: jax.device_put(v, _sharding(v)) for k, v in fields.items()}
+        hs_steady = jax.device_put(hs_steady, NamedSharding(mesh, P("x", "y")))
+
     # warm up (compile)
     t0 = time.perf_counter()
     fields = step_c(dict(fields), hs_steady * 0.0)
     float(probe(fields))
     print(f"compile+warmup: {time.perf_counter() - t0:.1f} s", flush=True)
 
+    import contextlib
+
+    from tasmania_tpu.utils.timer import profile_trace
+
+    prof = profile_trace(cli.profile) if cli.profile else contextlib.nullcontext()
     Timer.reset()
     Timer.enabled = True
     t0 = time.perf_counter()
-    with Timer.timing("compute_time"):
+    with prof, Timer.timing("compute_time"):
         for i in range(nt):
             fact = min((i + 1) * dt_s / topo_time, 1.0)
             fields = step_c(dict(fields), fact * hs_steady)
         float(probe(fields))  # forces completion through the axon tunnel
-    Timer.stop() if False else None
     elapsed = time.perf_counter() - t0
 
     print("Simulation successfully completed. HOORAY!")

@@ -53,18 +53,16 @@ class HorizontalVelocity(GridComponent, StencilFactory):
         ``set_outermost_layers_x/y``."""
         xp = get_namespace(d)
         if self._staggering:
-            nxp1 = d.shape[0] + 1
-            nyp1 = d.shape[1] + 1
             u_in = (du[:-1] + du[1:]) / (d[:-1] + d[1:])
             v_in = (dv[:, :-1] + dv[:, 1:]) / (d[:, :-1] + d[:, 1:])
-            u = xp.zeros((nxp1, *d.shape[1:]), dtype=d.dtype)
-            v = xp.zeros((d.shape[0], nyp1, *d.shape[2:]), dtype=d.dtype)
-            if xp is np:
-                u[1:-1] = u_in
-                v[:, 1:-1] = v_in
-            else:
-                u = u.at[1:-1].set(u_in)
-                v = v.at[:, 1:-1].set(v_in)
+            # build the staggered arrays by concatenation, NOT by scatter into
+            # zeros: concatenate partitions robustly under SPMD (XLA's scatter
+            # partitioner can silently drop the cross-shard row) and lowers to
+            # pad+select on TPU
+            zu = xp.zeros_like(u_in[:1])
+            zv = xp.zeros_like(v_in[:, :1])
+            u = xp.concatenate([zu, u_in, zu], axis=0)
+            v = xp.concatenate([zv, v_in, zv], axis=1)
             return u, v
         return du / d, dv / d
 
