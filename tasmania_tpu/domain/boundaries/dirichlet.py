@@ -4,9 +4,10 @@ TPU-native re-design of reference
 ``src/tasmania/domain/subclasses/horizontal_boundaries/dirichlet.py:37``: edge
 bands are pinned to values provided by a user ``core`` callable with signature
 ``core(time, grid, slice_x, slice_y, field_name, field_units)``.  The core runs
-host-side: under jit its outputs become trace-time constants, so a
-time-*dependent* core forces a retrace — use ``relaxed`` with a reference state
-for time-varying forcing inside a jitted loop.
+host-side when it returns numpy (outputs become trace-time constants under
+jit); a core returning jax arrays computed from a *traced* ``time`` — thread
+the step time through the state like ``topography_height`` — gives
+time-dependent boundary forcing inside a jitted loop with no retrace.
 """
 
 from __future__ import annotations
@@ -95,16 +96,24 @@ class Dirichlet(HorizontalBoundary):
         return field
 
     def _band(self, field, time, sx, sy, name, units):
-        """Evaluate the core over an index window, broadcast to the field's k-extent."""
+        """Evaluate the core over an index window, broadcast to the field's
+        k-extent.
+
+        A core returning numpy evaluates host-side (trace-time constant under
+        jit).  A core returning a jax array — e.g. computed from a traced
+        ``time`` threaded through the state — stays traced, so time-dependent
+        boundary forcing works inside a jitted loop without retracing."""
         core = self._kwargs["core"]
-        xp = get_namespace(field)
-        vals = np.asarray(core(time, self.numerical_grid, sx, sy, name, units))
+        vals = core(time, self.numerical_grid, sx, sy, name, units)
+        host = isinstance(vals, (np.ndarray, list, tuple, float, int))
+        xp = get_namespace(field) if host else get_namespace(vals)
+        vals = np.asarray(vals) if host else vals
         want_k = field.shape[2] if field.ndim == 3 else None
         if field.ndim == 3:
             if vals.ndim == 2:
                 vals = vals[:, :, None]
             if vals.shape[2] == 1 and want_k != 1:
-                vals = np.broadcast_to(vals, (*vals.shape[:2], want_k))
+                vals = xp.broadcast_to(vals, (*vals.shape[:2], want_k))
         return xp.asarray(vals, dtype=field.dtype)
 
     def enforce_field(self, field, field_name=None, field_units=None, time=None):

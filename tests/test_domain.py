@@ -262,3 +262,39 @@ class TestOneD:
         num = hb.get_numerical_field(phi, "phi")
         assert num.shape == (24, 5, g.nz)
         np.testing.assert_allclose(np.asarray(num[:, 0]), np.asarray(num[:, 2]))
+
+
+def test_dirichlet_traced_time_core_under_jit():
+    """Time-dependent Dirichlet forcing with a traced time input: the core
+    returns jax arrays computed from ``t``, so a jitted loop sweeps the
+    boundary values without retracing (dirichlet.py::_band)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tasmania_tpu.domain.horizontal_boundary import HorizontalBoundary
+
+    def core(time, grid, slice_x=None, slice_y=None, field_name=None, field_units=None):
+        sx = slice_x or slice(0, grid.nx)
+        sy = slice_y or slice(0, grid.ny)
+        mi = (sx.stop or grid.nx) - (sx.start or 0)
+        mj = (sy.stop or grid.ny) - (sy.start or 0)
+        return jnp.full((mi, mj, 1), jnp.sin(time))
+
+    grid = make_grid(8, 8, 4)
+    hb = HorizontalBoundary.factory("dirichlet", grid, 2, core=core)
+
+    traces = []
+
+    def enforce(field, t):
+        traces.append(1)
+        return hb.enforce_field(field, "air_isentropic_density", "kg m^-2 K^-1", time=t)
+
+    jitted = jax.jit(enforce)
+    f = jnp.ones((8, 8, 4))
+    out1 = jitted(f, 0.5)
+    out2 = jitted(f, 1.5)
+    assert len(traces) == 1  # no retrace for a new time
+    np.testing.assert_allclose(np.asarray(out1)[0, :, 0], np.sin(0.5), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2)[-1, :, 0], np.sin(1.5), rtol=1e-6)
+    # interior untouched
+    np.testing.assert_allclose(np.asarray(out1)[2:-2, 2:-2], 1.0)
