@@ -81,7 +81,10 @@ def fused_advection_step(
     assert nb >= e, f"nb={nb} must be >= extent {e}"
     NXI, NYI = nx - 2 * nb, ny - 2 * nb
     TX = _pick_tile(NXI, tile_x)
-    grid = (F, NXI // TX)
+    # grid order (x-tile, field): the u/v block index is constant across the
+    # inner (field) steps, so Mosaic's revisiting optimisation fetches each
+    # velocity tile ONCE per x-tile instead of once per (field, x-tile)
+    grid = (NXI // TX, F)
     has_tnd = tnd is not None
 
     # Mosaic requires the last two block dims be full-size (or (8,128)-
@@ -147,22 +150,22 @@ def fused_advection_step(
         # u faces nb+ix*TX .. +TX (inclusive), full (y, z)
         pl.BlockSpec(
             (pl.Element(TX + 1), pl.Element(ny), pl.Element(nz)),
-            lambda f, ix: (nb + ix * TX, 0, 0),
+            lambda ix, f: (nb + ix * TX, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
             (pl.Element(TX), pl.Element(ny + 1), pl.Element(nz)),
-            lambda f, ix: (nb + ix * TX, 0, 0),
+            lambda ix, f: (nb + ix * TX, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
             (pl.Element(1), pl.Element(TX), pl.Element(ny), pl.Element(nz)),
-            lambda f, ix: (f, nb + ix * TX, 0, 0),
+            lambda ix, f: (f, nb + ix * TX, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
             (pl.Element(1), pl.Element(TX + 2 * e), pl.Element(ny), pl.Element(nz)),
-            lambda f, ix: (f, nb - e + ix * TX, 0, 0),
+            lambda ix, f: (f, nb - e + ix * TX, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -171,7 +174,7 @@ def fused_advection_step(
         in_specs.append(
             pl.BlockSpec(
                 (pl.Element(1), pl.Element(TX), pl.Element(ny), pl.Element(nz)),
-                lambda f, ix: (f, nb + ix * TX, 0, 0),
+                lambda ix, f: (f, nb + ix * TX, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -186,7 +189,7 @@ def fused_advection_step(
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (pl.Element(1), pl.Element(TX), pl.Element(ny), pl.Element(nz)),
-            lambda f, ix: (f, ix * TX, 0, 0),
+            lambda ix, f: (f, ix * TX, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((F, NXI, ny, nz), phi_now.dtype),
