@@ -85,6 +85,7 @@ def _run_sus_subprocess(backend: str, timeout_s: int):
                 str(Path(__file__).resolve().parent / "drivers" / "driver_namelist_sus.py"),
                 "--backend",
                 backend,
+                "--fused-loop",
             ],
             capture_output=True,
             text=True,
@@ -114,7 +115,7 @@ def bench_isentropic():
     # fallback: pure-XLA backend (reliable ~30 s compile)
     from drivers.driver_namelist_sus import main as sus_main
 
-    return sus_main([])
+    return sus_main(["--fused-loop"])
 
 
 def main():
