@@ -342,25 +342,45 @@ def main(argv=None):
 
     if cli.fused_loop:
         # all steps inside ONE jitted while-loop: no per-step dispatch through
-        # the tunnel, and XLA may keep loop-carried fields VMEM-resident
-        def run_all(fields, hs, n):
-            def body(i, fields):
+        # the tunnel, and XLA may keep loop-carried fields VMEM-resident.
+        # The loop carries ONLY the fields the step actually reads (the
+        # prognostics + a few recurrences); every pure diagnostic is recomputed
+        # inside the step anyway, and carrying it would round-trip ~75 MB of
+        # never-read data through HBM per iteration.  The last step runs the
+        # full function so the final state is complete.
+        from tasmania_tpu.utils.jitx import carry_read_set
+
+        read = carry_read_set(step, fields, hs_steady)
+        dead = {k: jnp.zeros_like(v) for k, v in fields.items() if k not in read}
+        print(f"fused loop carries {len(read)}/{len(fields)} fields")
+
+        def step_reduced(carry, hs):
+            out = step({**dead, **carry}, hs)
+            return {k: out[k] for k in carry}
+
+        def run_all(carry, hs, n):
+            def body(i, carry):
                 fact = jnp.minimum((i + 1.0) * dt_s / topo_time, 1.0)
-                return step(fields, fact * hs)
-            return jax.lax.fori_loop(0, n, body, fields)
+                return step_reduced(carry, fact * hs)
+            carry = jax.lax.fori_loop(0, n - 1, body, carry)
+            # final step in full so diagnostics are materialized
+            fact = jnp.minimum(n * dt_s / topo_time, 1.0)
+            return step({**dead, **carry}, fact * hs)
 
         run_all_c = jax.jit(run_all, donate_argnums=(0,))
+        carry0 = {k: v for k, v in fields.items() if k in read}
 
         t0 = time.perf_counter()
-        fields = run_all_c(dict(fields), hs_steady * 0.0, 1)
-        float(probe(fields))
+        out = run_all_c(dict(carry0), hs_steady * 0.0, 1)
+        float(probe(out))
+        carry0 = {k: out[k] for k in read}
         print(f"compile+warmup: {time.perf_counter() - t0:.1f} s", flush=True)
 
         Timer.reset()
         Timer.enabled = True
         t0 = time.perf_counter()
         with Timer.timing("compute_time"):
-            fields = run_all_c(dict(fields), hs_steady, nt)
+            fields = run_all_c(dict(carry0), hs_steady, nt)
             float(probe(fields))
         elapsed = time.perf_counter() - t0
         print("Simulation successfully completed. HOORAY!")
