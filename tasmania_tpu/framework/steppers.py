@@ -99,6 +99,21 @@ class _StepperBase:
         return self._coupling(state, timestep)
 
     # -- helpers ----------------------------------------------------------------- #
+    def _try_fused(self, scheme: str, state, dt: float):
+        """Delegate the WHOLE multi-stage step to the wrapped component when it
+        offers a fused kernel (``fused_rk_step``), e.g. the Pallas RK3WS
+        vertical-advection kernel.  Only valid for a single-component coupling
+        without inter-stage boundary enforcement."""
+        if self._enforce_hb:
+            return None
+        comps = self._coupling.components
+        if len(comps) != 1:
+            return None
+        fused = getattr(comps[0], "fused_rk_step", None)
+        if fused is None:
+            return None
+        return fused(scheme, state, dt, self.output_properties)
+
     def _post_stage(self, state, stepped, frac_dt: timedelta):
         """Apply BCs, rebuild a complete stage state, advance its time."""
         if self._enforce_hb:
@@ -215,6 +230,10 @@ class RK3WS(TendencyStepper):
     name = "rk3ws"
 
     def _call(self, state, dt, td):
+        fused = self._try_fused("rk3ws", state, dt)
+        if fused is not None:
+            return fused
+
         k1, diagnostics = self.get_increment(state, td)
         s1 = self._dict_op.fma(state, k1, dt / 3.0, self.output_properties)
         _, stage1 = self._post_stage(state, s1, td / 3)

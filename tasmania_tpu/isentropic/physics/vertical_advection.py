@@ -126,6 +126,42 @@ class IsentropicVerticalAdvection(TendencyComponent):
             tends[mfpw] = tendency(s * state[mfpw], scale=s)
         return tends, {}
 
+    # -- fused stepper fast path ------------------------------------------------ #
+    def fused_rk_step(self, scheme, state, dt, output_properties):
+        """Whole-RK3WS Pallas kernel (ops/vertical_advection_step): vertical
+        advection is column-local, so all three stages run in VMEM per x-tile.
+        Returns (diagnostics, out_state) or None when not applicable."""
+        if scheme != "rk3ws" or self._stgz or not self.backend.startswith("pallas"):
+            return None
+        from tasmania_tpu.framework.field import get_array_dict
+        from tasmania_tpu.ops.vertical_advection_step import (
+            fused_vertical_advection_rk3ws,
+        )
+
+        raw = get_array_dict(state, self.input_properties)
+        dz = float(np.asarray(self.grid.dz.to_units("K").data))
+        names = ["air_isentropic_density", "x_momentum_isentropic", "y_momentum_isentropic"]
+        qargs = {}
+        if self._moist:
+            names += [mfwv, mfcw, mfpw]
+            qargs = dict(qv=raw[mfwv], qc=raw[mfcw], qr=raw[mfpw])
+        stepped = fused_vertical_advection_rk3ws(
+            raw["tendency_of_air_potential_temperature"],
+            raw["air_isentropic_density"],
+            raw["x_momentum_isentropic"],
+            raw["y_momentum_isentropic"],
+            **qargs,
+            order=self._vflux.order,
+            dt=float(dt),
+            dz=dz,
+            interpret=self.backend == "pallas:interpret",
+        )
+        out = {
+            name: FieldArray(arr, output_properties[name]["units"], DIMS)
+            for name, arr in zip(names, stepped)
+        }
+        return {}, out
+
 
 class PrescribedSurfaceHeating(TendencyComponent):
     """Analytically prescribed heating from the surface

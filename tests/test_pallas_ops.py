@@ -64,3 +64,59 @@ def test_frame_untouched():
     np.testing.assert_allclose(out[0, -nb:], np.asarray(now)[0, -nb:])
     np.testing.assert_allclose(out[0, :, :nb], np.asarray(now)[0, :, :nb])
     np.testing.assert_allclose(out[0, :, -nb:], np.asarray(now)[0, :, -nb:])
+
+
+@pytest.mark.parametrize("scheme", ["upwind", "centered", "third_order_upwind",
+                                    "fifth_order_upwind"])
+@pytest.mark.parametrize("moist", [False, True])
+def test_fused_vertical_advection_rk3ws_matches_generic_stepper(scheme, moist):
+    """The whole-RK3WS Pallas kernel must reproduce the generic stepper
+    (rk3ws fma algebra over the component's tendencies) bit-for-bit-ish."""
+    from tasmania_tpu.domain import Domain
+    from tasmania_tpu.framework.field import FieldArray
+    from tasmania_tpu.framework.steppers import TendencyStepper
+    from tasmania_tpu.isentropic import (
+        get_isentropic_state_from_brunt_vaisala_frequency,
+    )
+    from tasmania_tpu.isentropic.physics import IsentropicVerticalAdvection
+
+    domain = Domain(
+        (0.0, 1e5), 13, (0.0, 1e5), 11,
+        FieldArray(np.array([400.0, 300.0]), "K", ("z",)), 9,
+        horizontal_boundary_type="identity", nb=3,
+    )
+    state = get_isentropic_state_from_brunt_vaisala_frequency(
+        domain.numerical_grid, None, FieldArray(np.array(10.0), "m s^-1", ()),
+        FieldArray(np.array(2.0), "m s^-1", ()),
+        FieldArray(np.array(0.01), "s^-1", ()), moist=True,
+    )
+    state.pop("time", None)
+    rng = np.random.default_rng(3)
+    shp = np.asarray(state["air_isentropic_density"].data).shape
+    state["tendency_of_air_potential_temperature"] = FieldArray(
+        jnp.asarray(rng.normal(scale=1e-2, size=shp)), "K s^-1", ("x", "y", "z")
+    )
+    dt = 7.0
+
+    va_ref = IsentropicVerticalAdvection(
+        domain, flux_scheme=scheme, moist=moist, backend="jax"
+    )
+    va_fused = IsentropicVerticalAdvection(
+        domain, flux_scheme=scheme, moist=moist, backend="pallas:interpret"
+    )
+    ref_stepper = TendencyStepper.factory("rk3ws", va_ref)
+    fused_stepper = TendencyStepper.factory("rk3ws", va_fused)
+
+    diags_ref, out_ref = ref_stepper(state, dt)
+    diags_fused, out_fused = fused_stepper(state, dt)
+
+    assert set(out_ref) == set(out_fused)
+    assert diags_fused == {} or set(diags_fused) <= set(diags_ref)
+    for name in out_ref:
+        if name == "time":
+            continue
+        np.testing.assert_allclose(
+            np.asarray(out_fused[name].data),
+            np.asarray(out_ref[name].data),
+            rtol=1e-6, atol=1e-10, err_msg=name,
+        )
