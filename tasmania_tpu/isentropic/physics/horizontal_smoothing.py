@@ -85,6 +85,8 @@ class IsentropicHorizontalSmoothing(DiagnosticComponent):
         return dict(self.input_properties)
 
     def array_call(self, state):
+        if self.backend.startswith("pallas") and self._core.axis is None:
+            return self._array_call_fused(state)
         out = {
             "air_isentropic_density": self._core(state["air_isentropic_density"]),
             "x_momentum_isentropic": self._core(state["x_momentum_isentropic"]),
@@ -94,3 +96,31 @@ class IsentropicHorizontalSmoothing(DiagnosticComponent):
             for q in (mfwv, mfcw, mfpw):
                 out[q] = self._core_moist(state[q])
         return out
+
+    def _array_call_fused(self, state):
+        """Single Pallas pass over all smoothed fields (ops/smoothing_step)."""
+        import jax.numpy as jnp
+
+        from tasmania_tpu.ops.smoothing_step import fused_smoothing
+
+        names = [
+            "air_isentropic_density",
+            "x_momentum_isentropic",
+            "y_momentum_isentropic",
+        ]
+        gammas = [self._core._gamma] * 3
+        if self._moist:
+            names += [mfwv, mfcw, mfpw]
+            gammas += [self._core_moist._gamma] * 3
+        fields = tuple(state[n] for n in names)
+        gamma = jnp.stack(
+            [jnp.asarray(g, dtype=fields[0].dtype).reshape(-1) for g in gammas]
+        )
+        smoothed = fused_smoothing(
+            fields,
+            gamma,
+            order=self._core.order,
+            nb=self._core.nb,
+            interpret=self.backend == "pallas:interpret",
+        )
+        return {n: smoothed[i] for i, n in enumerate(names)}

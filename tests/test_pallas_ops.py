@@ -120,3 +120,61 @@ def test_fused_vertical_advection_rk3ws_matches_generic_stepper(scheme, moist):
             np.asarray(out_ref[name].data),
             rtol=1e-6, atol=1e-10, err_msg=name,
         )
+
+
+@pytest.mark.parametrize("order", ["first_order", "second_order", "third_order"])
+def test_fused_smoothing_matches_dwarf(order):
+    from tasmania_tpu.dwarfs.horizontal_smoothing import HorizontalSmoothing
+    from tasmania_tpu.ops.smoothing_step import fused_smoothing
+
+    rng = np.random.default_rng(7)
+    F, nx, ny, nz, nb = 4, 21, 17, 6, 3
+    fields = tuple(
+        jnp.asarray(rng.normal(size=(nx, ny, nz)), dtype=jnp.float32)
+        for _ in range(F)
+    )
+    n = {"first_order": 1, "second_order": 2, "third_order": 3}[order]
+
+    core = HorizontalSmoothing.factory(
+        order, (nx, ny, nz), 0.4, 0.9, 3, nb
+    )
+    gamma = jnp.stack([jnp.asarray(core._gamma, jnp.float32).reshape(-1)] * F)
+    out = fused_smoothing(fields, gamma, order=n, nb=nb, tile_x=8, interpret=True)
+    for f in range(F):
+        expected = np.asarray(core(fields[f]))
+        np.testing.assert_allclose(np.asarray(out[f]), expected, rtol=2e-6,
+                                   atol=1e-6, err_msg=f"field {f}")
+
+
+def test_isentropic_smoothing_fused_matches_jax():
+    from tasmania_tpu.domain import Domain
+    from tasmania_tpu.framework.field import FieldArray
+    from tasmania_tpu.isentropic import (
+        get_isentropic_state_from_brunt_vaisala_frequency,
+    )
+    from tasmania_tpu.isentropic.physics import IsentropicHorizontalSmoothing
+
+    domain = Domain(
+        (0.0, 1e5), 13, (0.0, 1e5), 11,
+        FieldArray(np.array([400.0, 300.0]), "K", ("z",)), 7,
+        horizontal_boundary_type="identity", nb=3,
+    )
+    state = get_isentropic_state_from_brunt_vaisala_frequency(
+        domain.numerical_grid, None, FieldArray(np.array(10.0), "m s^-1", ()),
+        FieldArray(np.array(1.0), "m s^-1", ()),
+        FieldArray(np.array(0.01), "s^-1", ()), moist=True,
+    )
+    kw = dict(
+        smooth_type="second_order", smooth_coeff=0.7, smooth_coeff_max=1.0,
+        smooth_damp_depth=2, moist=True, smooth_moist_coeff=0.3,
+    )
+    ref = IsentropicHorizontalSmoothing(domain, backend="jax", **kw)
+    fused = IsentropicHorizontalSmoothing(domain, backend="pallas:interpret", **kw)
+    d_ref = ref(state)
+    d_fused = fused(state)
+    assert set(d_ref) == set(d_fused)
+    for k in d_ref:
+        np.testing.assert_allclose(
+            np.asarray(d_fused[k].data), np.asarray(d_ref[k].data),
+            rtol=2e-6, atol=1e-7, err_msg=k,
+        )
