@@ -49,7 +49,14 @@ class IsentropicDiagnostics(DiagnosticComponent):
 
     @property
     def input_properties(self):
-        return {"air_isentropic_density": {"dims": DIMS, "units": "kg m^-2 K^-1"}}
+        props = {"air_isentropic_density": {"dims": DIMS, "units": "kg m^-2 K^-1"}}
+        # time-dependent topography enters through the state (like the dycore,
+        # ``framework/dycore.py``) so mtg/h track the growing mountain under
+        # jit — the reference reads the live grid topography each step
+        # (reference ``drivers/.../driver_namelist_sus.py`` update_topography)
+        if self.grid.topography.time.total_seconds() > 0.0:
+            props["topography_height"] = {"dims": ("x", "y"), "units": "m"}
+        return props
 
     @property
     def diagnostic_properties(self):
@@ -69,7 +76,9 @@ class IsentropicDiagnostics(DiagnosticComponent):
 
     def array_call(self, state):
         s = state["air_isentropic_density"]
-        p, exn, mtg, h = self._core.get_diagnostic_variables(s, self._pt)
+        p, exn, mtg, h = self._core.get_diagnostic_variables(
+            s, self._pt, hs=state.get("topography_height")
+        )
         out = {
             "air_pressure_on_interface_levels": p,
             "exner_function_on_interface_levels": exn,
