@@ -120,9 +120,38 @@ class IsentropicDiagnostics(GridComponent, StencilFactory):
         h = xp.concatenate([hs - rcsum, hs], axis=2)
         return h
 
+    def _fused(self, s, pt: float, hs, mode: str):
+        """One-pass Pallas path (ops/diagnostics_step): column scans as
+        triangular MXU contractions, whole chain in VMEM per x-tile."""
+        import jax.numpy as jnp
+
+        from tasmania_tpu.ops.diagnostics_step import fused_isentropic_diagnostics
+
+        xp = get_namespace(s)
+        hs3 = self._hs(xp, s.dtype, hs)
+        theta = jnp.asarray(self._theta[0], dtype=s.dtype)  # (1, nz+1)
+        return fused_isentropic_diagnostics(
+            s,
+            hs3[:, :, 0],
+            theta,
+            pt=float(pt),
+            dz=self._dz,
+            g=self.rpc["gravitational_acceleration"],
+            cp=self.rpc["specific_heat_of_dry_air_at_constant_pressure"],
+            rd=self.rpc["gas_constant_of_dry_air"],
+            pref=self.rpc["air_pressure_at_sea_level"],
+            mode=mode,
+            interpret=self._backend == "pallas:interpret",
+        )
+
+    def _use_pallas(self, s) -> bool:
+        return self._backend.startswith("pallas") and get_namespace(s) is not np
+
     # -- public API (functional; reference returns via out-buffers) ----------- #
-    def get_diagnostic_variables(self, s, pt: float, hs=None) -> Tuple:
-        """(p, exn, mtg, h) from s + top pressure (reference ``:140``)."""
+    def get_diagnostic_variables(self, s, pt: float, hs=None, moist: bool = False):
+        """(p, exn, mtg, h[, rho, t]) from s + top pressure (reference ``:140``)."""
+        if self._use_pallas(s):
+            return self._fused(s, pt, hs, "moist" if moist else "dry")
         xp = get_namespace(s)
         hs = self._hs(xp, s.dtype, hs)
         p = self._pressure(s, pt)
@@ -130,10 +159,15 @@ class IsentropicDiagnostics(GridComponent, StencilFactory):
         theta_s = float(self._theta[0, 0, -1])
         mtg = self._montgomery(exn, hs, theta_s)
         h = self._height(p, exn, hs)
+        if moist:
+            rho, t = self.get_density_and_temperature(s, exn, h)
+            return p, exn, mtg, h, rho, t
         return p, exn, mtg, h
 
     def get_montgomery_potential(self, s, pt: float, hs=None):
         """(reference ``:196``)"""
+        if self._use_pallas(s):
+            return self._fused(s, pt, hs, "mtg")
         xp = get_namespace(s)
         hs = self._hs(xp, s.dtype, hs)
         p = self._pressure(s, pt)

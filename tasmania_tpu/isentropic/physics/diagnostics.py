@@ -76,19 +76,18 @@ class IsentropicDiagnostics(DiagnosticComponent):
 
     def array_call(self, state):
         s = state["air_isentropic_density"]
-        p, exn, mtg, h = self._core.get_diagnostic_variables(
-            s, self._pt, hs=state.get("topography_height")
+        res = self._core.get_diagnostic_variables(
+            s, self._pt, hs=state.get("topography_height"), moist=self._moist
         )
         out = {
-            "air_pressure_on_interface_levels": p,
-            "exner_function_on_interface_levels": exn,
-            "montgomery_potential": mtg,
-            "height_on_interface_levels": h,
+            "air_pressure_on_interface_levels": res[0],
+            "exner_function_on_interface_levels": res[1],
+            "montgomery_potential": res[2],
+            "height_on_interface_levels": res[3],
         }
         if self._moist:
-            rho, t = self._core.get_density_and_temperature(s, exn, h)
-            out["air_density"] = rho
-            out["air_temperature"] = t
+            out["air_density"] = res[4]
+            out["air_temperature"] = res[5]
         return out
 
 

@@ -1,0 +1,160 @@
+"""Pallas TPU kernel: fused isentropic diagnostics (vertical scans).
+
+Computes p / exner / Montgomery / height (+ rho, T) from the isentropic
+density in ONE pass over the grid (reference
+``src/tasmania/isentropic/dynamics/diagnostics.py:320-406``; jnp cumsum
+re-design ``isentropic/dynamics/diagnostics.py``).  The column scans are
+expressed as *triangular-matrix contractions* on the MXU — for nz ~ 1e2 a
+(nz, nz) masked matmul is a few hundred MFLOP, far below the bandwidth cost
+of materialising intermediate arrays in HBM — so the whole diagnostic chain
+runs in VMEM per x-tile: read s (+hs) once, write the outputs once.
+
+Exact recurrences (match the reference for allclose validation):
+  p[0] = pt;  p[k+1] = p[k] + g·dz·s[k]
+  exn = cp·(p/pref)^(rd/cp)
+  mtg[nz-1] = θ_s·exn[nz] + g·hs + dz/2·exn[nz];  mtg[k] = mtg[k+1] + dz·exn[k+1]
+  h[nz] = hs;  h[k] = h[k+1] - rd·(θ·exn + θ⁺·exn⁺)(p - p⁺)/(cp·g·(p + p⁺))
+  rho = s·Δθ/Δh;  T = (θ·exn + θ⁺·exn⁺)/(2·cp)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _tri(n: int, dtype, lower_incl: bool):
+    """(n, n) mask: [l, k] = 1 when l <= k (lower_incl) else when l >= k."""
+    l = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return ((l <= k) if lower_incl else (l >= k)).astype(dtype)
+
+
+def _scan_matmul(x, m):
+    """Contract the last axis of x with the (n, n) scan matrix m (MXU).
+    Mosaic wants 2-D dots: collapse the leading dims around the contraction."""
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, x.shape[-1]))
+    y = jax.lax.dot_general(
+        x2,
+        m,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y.reshape(lead + (m.shape[1],))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pt", "dz", "g", "cp", "rd", "pref", "mode", "tile_x", "interpret"),
+)
+def fused_isentropic_diagnostics(
+    s,
+    hs,
+    theta,
+    *,
+    pt: float,
+    dz: float,
+    g: float,
+    cp: float,
+    rd: float,
+    pref: float,
+    mode: str = "moist",  # "mtg" | "dry" | "moist"
+    tile_x: int = 16,
+    interpret: bool = False,
+):
+    """Diagnostics from the isentropic density, fused per x-tile.
+
+    Args:
+      s: (nx, ny, nz) isentropic density.
+      hs: (nx, ny) topography height.
+      theta: (1, nz+1) potential temperature on interface levels.
+
+    Returns:
+      mode "mtg":   mtg
+      mode "dry":   (p, exn, mtg, h)
+      mode "moist": (p, exn, mtg, h, rho, t)
+    """
+    nx, ny, nz = s.shape
+    TX = min(tile_x, nx)
+    NT = pl.cdiv(nx, TX)
+    hs3 = hs[:, :, None]  # (nx, ny, 1): lane-friendly broadcast plane
+
+    def kernel(*refs):
+        s_ref, hs_ref, th_ref = refs[:3]
+        outs = refs[3:]
+        sv = s_ref[:]
+        hsv = hs_ref[:]  # (TX, ny, 1)
+        th = th_ref[0][None, None, :]  # (1, 1, nz+1)
+        theta_s = th_ref[0, nz]
+
+        dtype = sv.dtype
+        p_rest = _scan_matmul(g * dz * sv, _tri(nz, dtype, lower_incl=True))
+        p = jnp.concatenate([jnp.full_like(sv[..., :1], pt), pt + p_rest], axis=-1)
+        exn = cp * (p / pref) ** (rd / cp)
+
+        mtg_s = theta_s * exn[..., nz : nz + 1] + g * hsv
+        base = mtg_s + 0.5 * dz * exn[..., nz : nz + 1]
+        inc = dz * exn[..., 1:nz]  # exn[k+1], k = 0..nz-2
+        rsum = _scan_matmul(inc, _tri(nz - 1, dtype, lower_incl=False))
+        mtg = jnp.concatenate([base + rsum, base], axis=-1)
+
+        if mode == "mtg":
+            outs[0][:] = mtg
+            return
+
+        dh = (
+            rd
+            * (th[..., :-1] * exn[..., :-1] + th[..., 1:] * exn[..., 1:])
+            * (p[..., :-1] - p[..., 1:])
+            / (cp * g * (p[..., :-1] + p[..., 1:]))
+        )
+        h_rest = _scan_matmul(dh, _tri(nz, dtype, lower_incl=False))
+        h = jnp.concatenate([hsv - h_rest, hsv], axis=-1)
+
+        outs[0][:] = p
+        outs[1][:] = exn
+        outs[2][:] = mtg
+        outs[3][:] = h
+        if mode == "moist":
+            rho = sv * (th[..., :-1] - th[..., 1:]) / (h[..., :-1] - h[..., 1:])
+            t = 0.5 / cp * (th[..., :-1] * exn[..., :-1] + th[..., 1:] * exn[..., 1:])
+            outs[4][:] = rho
+            outs[5][:] = t
+
+    def spec(lastdim):
+        return pl.BlockSpec(
+            (TX, ny, lastdim), lambda ix: (ix, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    out_specs = {
+        "mtg": [spec(nz)],
+        "dry": [spec(nz + 1), spec(nz + 1), spec(nz), spec(nz + 1)],
+        "moist": [spec(nz + 1), spec(nz + 1), spec(nz), spec(nz + 1), spec(nz), spec(nz)],
+    }[mode]
+    lastdims = {
+        "mtg": [nz],
+        "dry": [nz + 1, nz + 1, nz, nz + 1],
+        "moist": [nz + 1, nz + 1, nz, nz + 1, nz, nz],
+    }[mode]
+    out_shapes = [jax.ShapeDtypeStruct((nx, ny, ld), s.dtype) for ld in lastdims]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(NT,),
+        in_specs=[
+            spec(nz),
+            spec(1),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # theta (1, nz+1), whole
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(s, hs3, theta)
+    return outs[0] if mode == "mtg" else tuple(outs)

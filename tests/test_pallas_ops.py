@@ -178,3 +178,46 @@ def test_isentropic_smoothing_fused_matches_jax():
             np.asarray(d_fused[k].data), np.asarray(d_ref[k].data),
             rtol=2e-6, atol=1e-7, err_msg=k,
         )
+
+
+@pytest.mark.parametrize("mode", ["mtg", "dry", "moist"])
+def test_fused_diagnostics_matches_jnp(mode):
+    """The MXU triangular-contraction diagnostics must match the jnp cumsum
+    path (same recurrences, different summation association)."""
+    from tasmania_tpu.domain import Domain
+    from tasmania_tpu.framework.field import FieldArray
+    from tasmania_tpu.isentropic.dynamics.diagnostics import IsentropicDiagnostics
+
+    domain = Domain(
+        (0.0, 1e5), 13, (0.0, 1e5), 11,
+        FieldArray(np.array([400.0, 300.0]), "K", ("z",)), 9,
+        horizontal_boundary_type="identity", nb=3,
+        topography_type="gaussian",
+        topography_kwargs={
+            "max_height": FieldArray(np.array(500.0), "m", ()),
+            "width_x": FieldArray(np.array(2.5e4), "m", ()),
+            "width_y": FieldArray(np.array(2.5e4), "m", ()),
+        },
+    )
+    grid = domain.numerical_grid
+    rng = np.random.default_rng(11)
+    s = jnp.asarray(
+        50.0 + 5.0 * rng.random((grid.nx, grid.ny, grid.nz)), dtype=jnp.float32
+    )
+    pt = 2000.0
+
+    ref = IsentropicDiagnostics(grid, backend="jax")
+    fused = IsentropicDiagnostics(grid, backend="pallas:interpret")
+
+    if mode == "mtg":
+        a = [ref.get_montgomery_potential(s, pt)]
+        b = [fused.get_montgomery_potential(s, pt)]
+    else:
+        moist = mode == "moist"
+        a = list(ref.get_diagnostic_variables(s, pt, moist=moist))
+        b = list(fused.get_diagnostic_variables(s, pt, moist=moist))
+    assert len(a) == len(b)
+    for i, (x, y) in enumerate(zip(a, b)):
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=3e-6, atol=1e-4, err_msg=f"out {i}"
+        )
