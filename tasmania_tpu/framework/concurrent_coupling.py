@@ -42,6 +42,17 @@ def _input_props(component) -> Mapping[str, Any]:
     return getattr(component, "input_properties", {}) or {}
 
 
+# chain fusers: (matcher, fuser) pairs registered by component modules; a
+# matcher inspects (components, scheme) and a fuser runs the WHOLE multi-stage
+# step for a recognised component chain (e.g. the Pallas RK3WS sedimentation
+# kernel for [KesslerFallVelocity, KesslerSedimentation])
+_CHAIN_FUSERS = []
+
+
+def register_chain_fuser(matcher, fuser) -> None:
+    _CHAIN_FUSERS.append((matcher, fuser))
+
+
 class ConcurrentCoupling:
     """Explicit concurrent coupling of diagnostic/tendency components
     (Staniforth et al. 2002)."""
@@ -142,6 +153,13 @@ class ConcurrentCoupling:
         return diags
 
     # -- public API ------------------------------------------------------------- #
+    def fused_rk_step(self, scheme, state, dt, output_properties):
+        """Whole-step fusion for a recognised component chain, else None."""
+        for matcher, fuser in _CHAIN_FUSERS:
+            if matcher(self._components, scheme):
+                return fuser(self._components, state, dt, output_properties)
+        return None
+
     @property
     def components(self) -> Sequence:
         return self._components

@@ -106,6 +106,12 @@ class _StepperBase:
         without inter-stage boundary enforcement."""
         if self._enforce_hb:
             return None
+        # recognised component chains first (ConcurrentCoupling chain fusers)
+        res = self._coupling.fused_rk_step(
+            scheme, state, dt, self.output_properties
+        )
+        if res is not None:
+            return res
         comps = self._coupling.components
         if len(comps) != 1:
             return None
@@ -195,6 +201,10 @@ class RK2(TendencyStepper):
     name = "rk2"
 
     def _call(self, state, dt, td):
+        fused = self._try_fused("rk2", state, dt)
+        if fused is not None:
+            return fused
+
         k1, diagnostics = self.get_increment(state, td)
         s1 = self._dict_op.fma(state, k1, 0.5 * dt, self.output_properties)
         _, stage1 = self._post_stage(state, s1, td / 2)

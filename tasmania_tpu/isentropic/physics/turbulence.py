@@ -30,6 +30,38 @@ class IsentropicSmagorinsky(Smagorinsky2d):
             "y_momentum_isentropic": {"dims": DIMS, "units": "kg m^-1 K^-1 s^-2"},
         }
 
+    def fused_rk_step(self, scheme, state, dt, output_properties):
+        """Whole-RK2 Pallas path (ops/smagorinsky_step): one fused
+        evaluate-and-update kernel per stage.  Returns (diagnostics, out) or
+        None when not applicable."""
+        if scheme != "rk2" or not self.backend.startswith("pallas"):
+            return None
+        from tasmania_tpu.framework.field import FieldArray, get_array_dict
+        from tasmania_tpu.ops.smagorinsky_step import fused_smagorinsky_rk2
+
+        raw = get_array_dict(state, self.input_properties)
+        dx, dy = self._spacings()
+        su_new, sv_new = fused_smagorinsky_rk2(
+            raw["air_isentropic_density"],
+            raw["x_momentum_isentropic"],
+            raw["y_momentum_isentropic"],
+            dx=dx,
+            dy=dy,
+            cs=self._cs,
+            nb=self._nb,
+            dt=float(dt),
+            interpret=self.backend == "pallas:interpret",
+        )
+        out = {
+            "x_momentum_isentropic": FieldArray(
+                su_new, output_properties["x_momentum_isentropic"]["units"], DIMS
+            ),
+            "y_momentum_isentropic": FieldArray(
+                sv_new, output_properties["y_momentum_isentropic"]["units"], DIMS
+            ),
+        }
+        return {}, out
+
     def array_call(self, state):
         s = state["air_isentropic_density"]
         u = state["x_momentum_isentropic"] / s

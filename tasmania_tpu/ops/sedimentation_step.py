@@ -1,0 +1,118 @@
+"""Pallas TPU kernel: fused RK3WS rain sedimentation.
+
+The SUS chain time-integrates [KesslerFallVelocity -> KesslerSedimentation]
+with RK3WS (reference ``drivers/.../driver_namelist_sus.py:392-414``).  Both
+components are column-local, so the three stages fuse in VMEM per x-tile:
+read (rho, h_if, qr) once, write (qr', vt) once.  Replicates exactly
+
+  vt   = 36.34 (1e-3 rho max(qr,0))^0.1346 sqrt(rho_s/rho)
+         (reference ``physics/microphysics/kessler.py:1198-1203``)
+  dfdz = upwind flux divergence over height (reference
+         ``microphysics/sedimentation_fluxes/{first,second}_order.py:30``)
+  T    = dfdz / rho on levels [nb, nz), zero above
+
+with stage algebra q_i = q_0 + c_i T(q_{i-1}), c = (dt/3, dt/2, dt)
+(``framework/steppers.py`` RK3WS).  The vt diagnostic returned is the stage-1
+evaluation, matching the generic stepper's k1 diagnostics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fall_velocity(rho, qr):
+    rho_s = rho[..., -1:]
+    return (
+        36.34
+        * (1.0e-3 * rho * jnp.where(qr > 0.0, qr, 0.0)) ** 0.1346
+        * (rho_s / rho) ** 0.5
+    )
+
+
+def _dfdz(order: int, rho, h, q, vt):
+    rqv = rho * q * vt
+    if order == 1:
+        return (rqv[..., :-1] - rqv[..., 1:]) / (h[..., :-1] - h[..., 1:])
+    a = (2.0 * h[..., 2:] - h[..., 1:-1] - h[..., :-2]) / (
+        (h[..., 1:-1] - h[..., 2:]) * (h[..., :-2] - h[..., 2:])
+    )
+    b = (h[..., :-2] - h[..., 2:]) / (
+        (h[..., 1:-1] - h[..., 2:]) * (h[..., :-2] - h[..., 1:-1])
+    )
+    c = (h[..., 2:] - h[..., 1:-1]) / (
+        (h[..., :-2] - h[..., 2:]) * (h[..., :-2] - h[..., 1:-1])
+    )
+    return a * rqv[..., 2:] + b * rqv[..., 1:-1] + c * rqv[..., :-2]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("order", "dt", "tile_x", "interpret")
+)
+def fused_sedimentation_rk3ws(
+    rho,
+    h_if,
+    qr,
+    *,
+    order: int = 1,
+    dt: float = 1.0,
+    tile_x: int = 16,
+    interpret: bool = False,
+):
+    """Three-stage RK3WS update of qr under rain sedimentation.
+
+    Args:
+      rho: (nx, ny, nz) air density.
+      h_if: (nx, ny, nz+1) height of interface levels.
+      qr: (nx, ny, nz) precipitation-water mass fraction.
+
+    Returns:
+      (qr_out, vt_stage1): stepped mass fraction and the first-stage fall
+      velocity diagnostic.
+    """
+    nx, ny, nz = rho.shape
+    rho = rho.astype(qr.dtype)
+    h_if = h_if.astype(qr.dtype)
+    nb = order  # flux extent
+    TX = min(tile_x, nx)
+    NT = pl.cdiv(nx, TX)
+    c1, c2, c3 = dt / 3.0, dt / 2.0, dt
+
+    def kernel(rho_r, hif_r, qr_r, out_q, out_vt):
+        rhov = rho_r[:]
+        h = 0.5 * (hif_r[..., :-1] + hif_r[..., 1:])
+        q0 = qr_r[:]
+
+        def tendency(qi):
+            vt = _fall_velocity(rhov, qi)
+            d = _dfdz(order, rhov, h, qi, vt) / rhov[..., nb:]
+            z = jnp.zeros(d.shape[:-1] + (nb,), d.dtype)
+            return jnp.concatenate([z, d], axis=-1), vt
+
+        t1, vt1 = tendency(q0)
+        q1 = q0 + c1 * t1
+        t2, _ = tendency(q1)
+        q2 = q0 + c2 * t2
+        t3, _ = tendency(q2)
+        out_q[:] = q0 + c3 * t3
+        out_vt[:] = vt1
+
+    spec = pl.BlockSpec((TX, ny, nz), lambda ix: (ix, 0, 0), memory_space=pltpu.VMEM)
+    spec_if = pl.BlockSpec(
+        (TX, ny, nz + 1), lambda ix: (ix, 0, 0), memory_space=pltpu.VMEM
+    )
+    q_out, vt_out = pl.pallas_call(
+        kernel,
+        grid=(NT,),
+        in_specs=[spec, spec_if, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), qr.dtype)] * 2,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(rho, h_if, qr)
+    return q_out, vt_out

@@ -1,0 +1,126 @@
+"""Pallas TPU kernel: fused Smagorinsky stage for the isentropic model.
+
+One kernel evaluates the conservative-form Smagorinsky tendency
+(reference ``src/tasmania/isentropic/physics/turbulence.py:38``,
+velocity-form core ``physics/turbulence.py:210-227``) AND applies the RK
+stage update ``out = base + c·s·T(u_st, v_st)`` in a single pass: read
+(s, su_st, sv_st, su_base, sv_base) once per x-tile, write (su', sv') once.
+The RK2 stepper (reference ``framework/subclasses/tendency_steppers/rk2.py``)
+is two invocations:
+
+  su1 = su0 + dt/2 · k(su0, sv0);   su' = su0 + dt · k(su1, sv1)
+
+Tendencies are zero on the nb-frame (reference ``turbulence.py:103``), so the
+frame of the output equals the base state; the kernel writes the x-interior
+and the nb-wide x-edge columns are pasted afterwards.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tasmania_tpu.ops.advection_step import _pick_tile
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dx", "dy", "cs", "nb", "c", "tile_x", "interpret")
+)
+def _smag_stage(
+    s, su_st, sv_st, su_base, sv_base, *, dx, dy, cs, nb, c, tile_x, interpret
+):
+    nx, ny, nz = s.shape
+    H = 2  # stencil halo: one ring for strain, one for the divergence
+    assert nb >= H
+    NXI = nx - 2 * nb
+    TX = _pick_tile(NXI, tile_x)
+    grid = (NXI // TX,)
+    jin = slice(nb, ny - nb)
+
+    def kernel(s_ref, sus_ref, svs_ref, sub_ref, svb_ref, osu_ref, osv_ref):
+        sw = s_ref[:]  # (TX+2H, ny, nz); window x = global [x0-2, x0+TX+2)
+        u = sus_ref[:] / sw
+        v = svs_ref[:] / sw
+
+        # strain rate on the ring: window x-idx r in [1, TX+3), y-idx q in
+        # [1, ny-1); ring arrays are indexed by (r-1, q-1)
+        xm = slice(0, TX + 2)
+        xp_ = slice(2, TX + 4)
+        xc = slice(1, TX + 3)
+        ym = slice(0, ny - 2)
+        yp = slice(2, ny)
+        yc = slice(1, ny - 1)
+        s00 = (u[xp_, yc] - u[xm, yc]) / (2.0 * dx)
+        s01 = 0.5 * (
+            (u[xc, yp] - u[xc, ym]) / (2.0 * dy)
+            + (v[xp_, yc] - v[xm, yc]) / (2.0 * dx)
+        )
+        s11 = (v[xc, yp] - v[xc, ym]) / (2.0 * dy)
+        nu = cs**2 * dx * dy * (2.0 * (s00**2 + 2.0 * s01**2 + s11**2)) ** 0.5
+
+        # flux divergence at tile points (window x-idx t in [2, TX+2),
+        # y in [2, ny-2)); ring idx of (t, y) is (t-1, y-1)
+        def ddx(f):
+            return (f[2 : TX + 2, 1 : ny - 3] - f[0:TX, 1 : ny - 3]) / (2.0 * dx)
+
+        def ddy(f):
+            return (f[1 : TX + 1, 2 : ny - 2] - f[1 : TX + 1, 0 : ny - 4]) / (2.0 * dy)
+
+        u_tnd = 2.0 * (ddx(nu * s00) + ddy(nu * s01))
+        v_tnd = 2.0 * (ddx(nu * s01) + ddy(nu * s11))
+        # u_tnd/v_tnd cover the x tile, y [2, ny-2); restrict to the y interior
+        yo = slice(nb - 2, ny - nb - 2)  # within the (ny-4) frame
+        s_in = sw[H : H + TX, jin]
+        osu_ref[0:TX, jin] = sub_ref[H : H + TX, jin] + c * s_in * u_tnd[:, yo]
+        osv_ref[0:TX, jin] = svb_ref[H : H + TX, jin] + c * s_in * v_tnd[:, yo]
+        # y-frame: tendency is zero there
+        osu_ref[0:TX, 0:nb] = sub_ref[H : H + TX, 0:nb]
+        osu_ref[0:TX, ny - nb : ny] = sub_ref[H : H + TX, ny - nb : ny]
+        osv_ref[0:TX, 0:nb] = svb_ref[H : H + TX, 0:nb]
+        osv_ref[0:TX, ny - nb : ny] = svb_ref[H : H + TX, ny - nb : ny]
+
+    in_spec_h = pl.BlockSpec(
+        (pl.Element(TX + 2 * H), pl.Element(ny), pl.Element(nz)),
+        lambda ix: (nb - H + ix * TX, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (pl.Element(TX), pl.Element(ny), pl.Element(nz)),
+        lambda ix: (nb + ix * TX, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    osu, osv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_spec_h] * 5,
+        out_specs=[out_spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), s.dtype)] * 2,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(s, su_st, sv_st, su_base, sv_base)
+    osu = osu.at[:nb].set(su_base[:nb]).at[nx - nb :].set(su_base[nx - nb :])
+    osv = osv.at[:nb].set(sv_base[:nb]).at[nx - nb :].set(sv_base[nx - nb :])
+    return osu, osv
+
+
+def fused_smagorinsky_rk2(
+    s,
+    su,
+    sv,
+    *,
+    dx: float,
+    dy: float,
+    cs: float,
+    nb: int,
+    dt: float,
+    tile_x: int = 32,
+    interpret: bool = False,
+):
+    """Two-stage RK2 update of (su, sv) under the Smagorinsky closure."""
+    kw = dict(dx=dx, dy=dy, cs=cs, nb=nb, tile_x=tile_x, interpret=interpret)
+    su1, sv1 = _smag_stage(s, su, sv, su, sv, c=0.5 * dt, **kw)
+    return _smag_stage(s, su1, sv1, su, sv, c=dt, **kw)

@@ -95,21 +95,26 @@ def fused_smoothing(
         lambda ix: (nb - n + ix * TX, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    # full-size outputs aliased to the inputs: grid blocks write only the
-    # x-interior; the x-frame survives through the alias (XLA copies the
-    # buffer first iff the input value is still live elsewhere)
+    # full-size FRESH outputs (no input aliasing: the read windows overlap
+    # neighbouring tiles' write regions, so in-place writes would race the
+    # halo fetches whenever the pipeline is not double-buffered); the kernel
+    # writes the x-interior and the cheap nb-wide x-edge columns are pasted
+    # afterwards (in-place dynamic-update-slices on the dead buffer)
     out_spec = pl.BlockSpec(
         (pl.Element(TX), pl.Element(ny), pl.Element(nz)),
         lambda ix: (nb + ix * TX, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [in_spec] * F,
         out_specs=[out_spec] * F,
         out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), fields[0].dtype)] * F,
-        input_output_aliases={f + 1: f for f in range(F)},
         interpret=interpret,
     )(gamma, *fields)
+    return tuple(
+        out.at[:nb].set(phi[:nb]).at[nx - nb :].set(phi[nx - nb :])
+        for out, phi in zip(outs, fields)
+    )

@@ -384,3 +384,51 @@ class KesslerSedimentation(ImplicitTendencyComponent):
         else:
             tnd = tnd.at[:, :, nb:].set(interior)
         return {mfpw: tnd}, {}
+
+
+# ------------------------------------------------------------------------------ #
+# chain fuser: [KesslerFallVelocity, KesslerSedimentation] under RK3WS           #
+# ------------------------------------------------------------------------------ #
+
+
+def _sedimentation_chain_matches(components, scheme) -> bool:
+    return (
+        scheme == "rk3ws"
+        and len(components) == 2
+        and isinstance(components[0], KesslerFallVelocity)
+        and isinstance(components[1], KesslerSedimentation)
+        and components[1].backend.startswith("pallas")
+    )
+
+
+def _sedimentation_chain_fuser(components, state, dt, output_properties):
+    """Whole-RK3WS Pallas kernel (ops/sedimentation_step): both components are
+    column-local, so the three stages run in VMEM per x-tile."""
+    from tasmania_tpu.framework.field import get_array_dict
+    from tasmania_tpu.ops.sedimentation_step import fused_sedimentation_rk3ws
+
+    fv, sed = components
+    props = dict(fv.input_properties)
+    props.update(sed.input_properties)
+    props.pop("raindrop_fall_velocity", None)  # produced inside the chain
+    raw = get_array_dict(state, props)
+    q_out, vt1 = fused_sedimentation_rk3ws(
+        raw["air_density"],
+        raw["height_on_interface_levels"],
+        raw[mfpw],
+        order=sed._sflux.nb,
+        dt=float(dt),
+        interpret=sed.backend == "pallas:interpret",
+    )
+    out = {mfpw: FieldArray(q_out, output_properties[mfpw]["units"], DIMS)}
+    diags = {"raindrop_fall_velocity": FieldArray(vt1, "m s^-1", DIMS)}
+    return diags, out
+
+
+def _register_sedimentation_fuser() -> None:
+    from tasmania_tpu.framework.concurrent_coupling import register_chain_fuser
+
+    register_chain_fuser(_sedimentation_chain_matches, _sedimentation_chain_fuser)
+
+
+_register_sedimentation_fuser()

@@ -221,3 +221,97 @@ def test_fused_diagnostics_matches_jnp(mode):
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(x), rtol=3e-6, atol=1e-4, err_msg=f"out {i}"
         )
+
+
+def _small_moist_setup(nz=9):
+    from tasmania_tpu.domain import Domain
+    from tasmania_tpu.framework.field import FieldArray
+    from tasmania_tpu.isentropic import (
+        get_isentropic_state_from_brunt_vaisala_frequency,
+    )
+
+    domain = Domain(
+        (0.0, 1e5), 13, (0.0, 1e5), 11,
+        FieldArray(np.array([400.0, 300.0]), "K", ("z",)), nz,
+        horizontal_boundary_type="identity", nb=3,
+    )
+    state = get_isentropic_state_from_brunt_vaisala_frequency(
+        domain.numerical_grid, None, FieldArray(np.array(10.0), "m s^-1", ()),
+        FieldArray(np.array(2.0), "m s^-1", ()),
+        FieldArray(np.array(0.01), "s^-1", ()), moist=True,
+    )
+    state.pop("time", None)
+    return domain, state
+
+
+@pytest.mark.parametrize("scheme", ["first_order_upwind", "second_order_upwind"])
+def test_fused_sedimentation_chain_matches_generic(scheme):
+    """[FallVelocity -> Sedimentation] under rk3ws: the registered chain fuser
+    must reproduce the generic coupled stepper."""
+    from tasmania_tpu.framework.steppers import TendencyStepper
+    from tasmania_tpu.isentropic.dynamics.diagnostics import IsentropicDiagnostics
+    from tasmania_tpu.physics import KesslerFallVelocity, KesslerSedimentation
+
+    domain, state = _small_moist_setup()
+    grid = domain.numerical_grid
+    # add rho/h diagnostics + some rain
+    dd = IsentropicDiagnostics(grid, backend="jax")
+    s = state["air_isentropic_density"].data
+    import jax.numpy as jnp2
+    from tasmania_tpu.framework.field import FieldArray
+    p, exn, mtg, h, rho, t = dd.get_diagnostic_variables(
+        jnp.asarray(s), 2000.0, moist=True
+    )
+    state["air_density"] = FieldArray(rho, "kg m^-3", ("x", "y", "z"))
+    state["height_on_interface_levels"] = FieldArray(
+        h, "m", ("x", "y", "z_on_interface_levels")
+    )
+    rng = np.random.default_rng(5)
+    state["mass_fraction_of_precipitation_water_in_air"] = FieldArray(
+        jnp.asarray(1e-3 * rng.random(rho.shape), dtype=jnp.float32),
+        "g g^-1", ("x", "y", "z"),
+    )
+    dt = 7.0
+
+    def build(backend):
+        fv = KesslerFallVelocity(domain, "numerical", backend=backend)
+        sd = KesslerSedimentation(
+            domain, "numerical", sedimentation_flux_scheme=scheme, backend=backend
+        )
+        return TendencyStepper.factory("rk3ws", fv, sd, execution_policy="serial")
+
+    d_ref, o_ref = build("jax")(state, dt)
+    d_fus, o_fus = build("pallas:interpret")(state, dt)
+    assert set(o_ref) == set(o_fus)
+    for k in o_ref:
+        np.testing.assert_allclose(
+            np.asarray(o_fus[k].data), np.asarray(o_ref[k].data),
+            rtol=1e-5, atol=1e-12, err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(d_fus["raindrop_fall_velocity"].data),
+        np.asarray(d_ref["raindrop_fall_velocity"].data),
+        rtol=1e-5, atol=1e-10,
+    )
+
+
+def test_fused_smagorinsky_rk2_matches_generic():
+    from tasmania_tpu.framework.steppers import TendencyStepper
+    from tasmania_tpu.isentropic.physics import IsentropicSmagorinsky
+
+    domain, state = _small_moist_setup()
+    dt = 7.0
+
+    def build(backend):
+        return TendencyStepper.factory(
+            "rk2", IsentropicSmagorinsky(domain, 0.18, backend=backend)
+        )
+
+    d_ref, o_ref = build("jax")(state, dt)
+    d_fus, o_fus = build("pallas:interpret")(state, dt)
+    assert set(o_ref) == set(o_fus)
+    for k in o_ref:
+        np.testing.assert_allclose(
+            np.asarray(o_fus[k].data), np.asarray(o_ref[k].data),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
