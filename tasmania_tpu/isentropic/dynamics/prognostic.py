@@ -138,29 +138,26 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         return self._backend.startswith("pallas") and self._hflux.order in (3, 5)
 
     def _fused(self, dt, u_int, v_int, names_now, names_int, tnds):
-        """Dispatch the stacked Pallas advection kernel (ops/advection_step)."""
-        import jax.numpy as jnp
-
-        from tasmania_tpu.ops import fused_advection_step
+        """Dispatch the per-field Pallas advection kernel (ops/advection_step)."""
+        from tasmania_tpu.ops.advection_step import fused_advection_fields
 
         nb = self.horizontal_boundary.nb
         dx, dy = self._grid_spacings()
-        phi_now = jnp.stack(names_now)
-        phi_int = jnp.stack(names_int)
-        tnd = jnp.stack(tnds) if tnds is not None else None
-        out = fused_advection_step(
-            u_int,
-            v_int,
-            phi_now,
-            phi_int,
-            tnd,
-            order=self._hflux.order,
-            nb=nb,
-            dt=float(dt),
-            dx=dx,
-            dy=dy,
+        return list(
+            fused_advection_fields(
+                u_int,
+                v_int,
+                tuple(names_now),
+                tuple(names_int),
+                tuple(tnds) if tnds is not None else None,
+                order=self._hflux.order,
+                nb=nb,
+                dt=float(dt),
+                dx=dx,
+                dy=dy,
+                interpret=self._backend == "pallas:interpret",
+            )
         )
-        return [out[i] for i in range(out.shape[0])]
 
     def _step_density_and_water(self, dt, state, tendencies, s_now_dict):
         """First stencil: step s (+ sqv, sqc, sqr)
@@ -191,18 +188,15 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
                 "isentropic_density_of_cloud_liquid_water": (mfcw, True),
                 "isentropic_density_of_precipitation_water": (mfpw, True),
             }
-            any_tnd = any(tendencies.get(tnd_names[n][0]) is not None for n in names)
-            tnds = None
-            if any_tnd:
-                tnds = []
-                for n in names:
-                    tn, scale = tnd_names[n]
-                    t = tendencies.get(tn)
-                    if t is None:
-                        t = xp.zeros_like(state[n])
-                    elif scale:
-                        t = s_int * t
-                    tnds.append(t)
+            tnds = []
+            for n in names:
+                tn, scale = tnd_names[n]
+                t = tendencies.get(tn)
+                if t is not None and scale:
+                    t = s_int * t
+                tnds.append(t)  # None entries skip the kernel's source slot
+            if not any(t is not None for t in tnds):
+                tnds = None
             stepped = self._fused(
                 dt,
                 state["x_velocity_at_u_locations"],
@@ -303,55 +297,42 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         return su_new, sv_new
 
     def _step_momentum_fused(self, dt, state, tendencies, s_now_dict, s_new, mtg_new):
-        """Pallas fast path: the pressure-gradient term rides the kernel's
-        source-term slot (tnd_eff = tnd − pg)."""
-        import jax.numpy as jnp
+        """Pallas fast path: the semi-implicit pressure gradient is computed
+        inside the kernel (ops/advection_step.fused_momentum_step)."""
+        from tasmania_tpu.ops.advection_step import fused_momentum_step
 
         nb = self.horizontal_boundary.nb
         dx, dy = self._grid_spacings()
-        eps = self._eps
-        xp = get_namespace(s_new)
-
-        s_now = s_now_dict["air_isentropic_density"]
-        mtg_now = s_now_dict["montgomery_potential"]
-        su_now = s_now_dict["x_momentum_isentropic"]
-        sv_now = s_now_dict["y_momentum_isentropic"]
         su_tnd = tendencies.get("x_momentum_isentropic")
         sv_tnd = tendencies.get("y_momentum_isentropic")
+        has_tnd = su_tnd is not None or sv_tnd is not None
+        if has_tnd:
+            xp = get_namespace(s_new)
+            su_tnd = su_tnd if su_tnd is not None else xp.zeros_like(s_new)
+            sv_tnd = sv_tnd if sv_tnd is not None else xp.zeros_like(s_new)
 
-        nx, ny = s_new.shape[0], s_new.shape[1]
-        iin = slice(nb, nx - nb)
-        jin = slice(nb, ny - nb)
-        ip1 = slice(nb + 1, nx - nb + 1)
-        im1 = slice(nb - 1, nx - nb - 1)
-        jp1 = slice(nb + 1, ny - nb + 1)
-        jm1 = slice(nb - 1, ny - nb - 1)
-        pgx_in = (1.0 - eps) * s_now[iin, jin] * (
-            mtg_now[ip1, jin] - mtg_now[im1, jin]
-        ) / (2.0 * dx) + eps * s_new[iin, jin] * (
-            mtg_new[ip1, jin] - mtg_new[im1, jin]
-        ) / (2.0 * dx)
-        pgy_in = (1.0 - eps) * s_now[iin, jin] * (
-            mtg_now[iin, jp1] - mtg_now[iin, jm1]
-        ) / (2.0 * dy) + eps * s_new[iin, jin] * (
-            mtg_new[iin, jp1] - mtg_new[iin, jm1]
-        ) / (2.0 * dy)
-
-        tnd_su = xp.zeros_like(su_now).at[iin, jin].set(
-            (su_tnd[iin, jin] if su_tnd is not None else 0.0) - pgx_in
-        )
-        tnd_sv = xp.zeros_like(sv_now).at[iin, jin].set(
-            (sv_tnd[iin, jin] if sv_tnd is not None else 0.0) - pgy_in
-        )
-        su_new, sv_new = self._fused(
-            dt,
+        return fused_momentum_step(
             state["x_velocity_at_u_locations"],
             state["y_velocity_at_v_locations"],
-            [su_now, sv_now],
-            [state["x_momentum_isentropic"], state["y_momentum_isentropic"]],
-            [tnd_su, tnd_sv],
+            s_now_dict["x_momentum_isentropic"],
+            s_now_dict["y_momentum_isentropic"],
+            state["x_momentum_isentropic"],
+            state["y_momentum_isentropic"],
+            s_now_dict["air_isentropic_density"],
+            s_now_dict["montgomery_potential"],
+            s_new,
+            mtg_new,
+            su_tnd if has_tnd else None,
+            sv_tnd if has_tnd else None,
+            order=self._hflux.order,
+            nb=nb,
+            dt=float(dt),
+            dx=dx,
+            dy=dy,
+            eps=self._eps,
+            has_tnd=has_tnd,
+            interpret=self._backend == "pallas:interpret",
         )
-        return su_new, sv_new
 
     def _si_stage(self, dt: float, state, tendencies) -> Dict[str, Any]:
         """One semi-implicit stage from the captured "now" state."""

@@ -1,18 +1,22 @@
-"""Pallas TPU kernel: fused multi-field horizontal advection step.
+"""Pallas TPU kernels: fused horizontal advection / momentum steps.
 
-The hot op of the isentropic core (SURVEY.md §3.2 [HOT²]): for each advected
+The hot ops of the isentropic core (SURVEY.md §3.2 [HOT²]): for each advected
 field φ,  ``out = φ_now − dt·(∂x F_x(u, φ_int) + ∂y F_y(v, φ_int) − tnd)``
-on the nb-inset interior.  The jnp path materialises the two flux arrays and
-the output per field (~9 HBM sweeps/field); this kernel keeps the fluxes in
-VMEM and streams ``(TX, nyi, nz)`` x-tiles, cutting traffic to ~4 sweeps/field
-(read now/int + u/v amortised over fields, write out).
+on the nb-inset interior (reference
+``subclasses/prognostics/utils.py:44 step_forward_euler``), and for the
+momenta the same with the semi-implicit pressure-gradient source
+``(1−eps)·s_now·∇mtg_now + eps·s_new·∇mtg_new`` computed IN the kernel
+(reference ``utils.py:138 step_forward_euler_momentum``).
 
-Layout: fields stacked on a leading axis (F, nx, ny, nz) — the TPU tiles the
-trailing (ny, nz) dims, so x-shifts walk the (cheap) leading grid dimension
-and y-shifts are sublane moves.  Shifted/overlapping windows are expressed
-with ``pl.Element`` block dims; the field axis is ``pl.Squeezed``.
-Third-order upwind (extent 2) and fifth-order upwind (extent 3) formulas match
-``isentropic/dynamics/horizontal_fluxes.py`` exactly.
+Design notes (measured on TPU v5e):
+* fields are SEPARATE refs — stacking F 12 MB fields costs ~2F extra sweeps;
+* outputs are fresh full-size buffers written on interior blocks (x-edge
+  columns pasted after, nb~3 columns ≈ free); input aliasing would race the
+  overlapping halo fetches if the pipeline were not double-buffered;
+* x-tiles ride the leading (cheapest) grid dimension; blocks span full
+  (ny, nz), which the TPU tiles as (sublane, lane);
+* third/fifth-order upwind formulas match
+  ``isentropic/dynamics/horizontal_fluxes.py`` exactly.
 """
 
 from __future__ import annotations
@@ -45,6 +49,230 @@ def _pick_tile(n: int, want: int) -> int:
     return n
 
 
+def _div_tile(order, TX, ny, nb, dx, dy, uf, vf, phi):
+    """Flux divergence on the (TX, ny-2nb) tile given the haloed int window
+    phi (TX+2e, ny, nz) and face velocities uf (TX+1, ny, nz) /
+    vf (TX, ny+1, nz)."""
+    e = 2 if order == 3 else 3
+    jin = slice(nb, ny - nb)
+    flux = _flux_3rd if order == 3 else _flux_5th
+    xs = [phi[k : TX + 1 + k, jin] for k in range(2 * e)]
+    fx = flux(uf[:, jin], *xs)
+    ys = [phi[e : e + TX, nb - e + k : ny - nb - e + 1 + k] for k in range(2 * e)]
+    fy = flux(vf[:, nb : ny - nb + 1], *ys)
+    return (fx[1:] - fx[:-1]) / dx + (fy[:, 1:] - fy[:, :-1]) / dy
+
+
+def _paste_x_edges(outs, nows, nb, nx):
+    return tuple(
+        o.at[:nb].set(n[:nb]).at[nx - nb :].set(n[nx - nb :])
+        for o, n in zip(outs, nows)
+    )
+
+
+def _specs(TX, e, ny, nz, nb):
+    """(u, v, now/tnd/out, int) block specs shared by both kernels."""
+    u_spec = pl.BlockSpec(
+        (pl.Element(TX + 1), pl.Element(ny), pl.Element(nz)),
+        lambda ix: (nb + ix * TX, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    v_spec = pl.BlockSpec(
+        (pl.Element(TX), pl.Element(ny + 1), pl.Element(nz)),
+        lambda ix: (nb + ix * TX, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    c_spec = pl.BlockSpec(
+        (pl.Element(TX), pl.Element(ny), pl.Element(nz)),
+        lambda ix: (nb + ix * TX, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_spec = pl.BlockSpec(
+        (pl.Element(TX + 2 * e), pl.Element(ny), pl.Element(nz)),
+        lambda ix: (nb - e + ix * TX, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return u_spec, v_spec, c_spec, h_spec
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "nb", "dt", "dx", "dy", "tile_x", "interpret"),
+)
+def fused_advection_fields(
+    u,
+    v,
+    fields_now,
+    fields_int,
+    tnds=None,
+    *,
+    order: int = 3,
+    nb: int = 3,
+    dt: float = 1.0,
+    dx: float = 1.0,
+    dy: float = 1.0,
+    tile_x: int = 32,
+    interpret: bool = False,
+):
+    """Step each field through one fused upwind advection update.
+
+    Args:
+      u: (nx+1, ny, nz) staggered x-velocity.
+      v: (nx, ny+1, nz) staggered y-velocity.
+      fields_now / fields_int: tuples of F (nx, ny, nz) base / provisional
+        fields.
+      tnds: optional tuple of F source terms, each (nx, ny, nz) or None.
+
+    Returns:
+      tuple of F (nx, ny, nz) stepped fields (nb-frame = now values).
+    """
+    fields_now = tuple(fields_now)
+    fields_int = tuple(fields_int)
+    F = len(fields_now)
+    nx, ny, nz = fields_now[0].shape
+    e = 2 if order == 3 else 3
+    assert order in (3, 5)
+    assert nb >= e, f"nb={nb} must be >= extent {e}"
+    NXI = nx - 2 * nb
+    TX = _pick_tile(NXI, tile_x)
+    has_tnd = tuple(
+        (tnds[i] is not None) if tnds is not None else False for i in range(F)
+    )
+    tnd_args = [t for t in (tnds or []) if t is not None]
+    jin = slice(nb, ny - nb)
+
+    def kernel(*refs):
+        u_ref, v_ref = refs[0], refs[1]
+        now_refs = refs[2 : 2 + F]
+        int_refs = refs[2 + F : 2 + 2 * F]
+        t_refs = iter(refs[2 + 2 * F : 2 + 2 * F + len(tnd_args)])
+        out_refs = refs[2 + 2 * F + len(tnd_args) :]
+        uf = u_ref[:]
+        vf = v_ref[:]
+        for f in range(F):
+            now = now_refs[f][:]
+            div = _div_tile(order, TX, ny, nb, dx, dy, uf, vf, int_refs[f][:])
+            rhs = div - next(t_refs)[:, jin] if has_tnd[f] else div
+            out_refs[f][0:TX, jin] = now[:, jin] - dt * rhs
+            out_refs[f][0:TX, 0:nb] = now[:, 0:nb]
+            out_refs[f][0:TX, ny - nb : ny] = now[:, ny - nb : ny]
+
+    u_spec, v_spec, c_spec, h_spec = _specs(TX, e, ny, nz, nb)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(NXI // TX,),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[u_spec, v_spec]
+        + [c_spec] * F
+        + [h_spec] * F
+        + [c_spec] * len(tnd_args),
+        out_specs=[c_spec] * F,
+        out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), fields_now[0].dtype)] * F,
+        interpret=interpret,
+    )(u, v, *fields_now, *fields_int, *tnd_args)
+    return _paste_x_edges(outs, fields_now, nb, nx)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "order", "nb", "dt", "dx", "dy", "eps", "has_tnd", "tile_x", "interpret"
+    ),
+)
+def fused_momentum_step(
+    u,
+    v,
+    su_now,
+    sv_now,
+    su_int,
+    sv_int,
+    s_now,
+    mtg_now,
+    s_new,
+    mtg_new,
+    su_tnd=None,
+    sv_tnd=None,
+    *,
+    order: int = 3,
+    nb: int = 3,
+    dt: float = 1.0,
+    dx: float = 1.0,
+    dy: float = 1.0,
+    eps: float = 0.5,
+    has_tnd: bool = False,
+    tile_x: int = 32,
+    interpret: bool = False,
+):
+    """Momentum step with the semi-implicit pressure gradient fused in:
+    ``su' = su_now − dt·(div(su_int) + pgx − su_tnd)`` where
+    ``pgx = ((1−eps)·s_now·∂x mtg_now + eps·s_new·∂x mtg_new)``
+    (reference ``subclasses/prognostics/utils.py:138``)."""
+    nx, ny, nz = su_now.shape
+    e = 2 if order == 3 else 3
+    assert order in (3, 5) and nb >= e
+    NXI = nx - 2 * nb
+    TX = _pick_tile(NXI, tile_x)
+    jin = slice(nb, ny - nb)
+    tnd_args = [su_tnd, sv_tnd] if has_tnd else []
+
+    def kernel(*refs):
+        (u_ref, v_ref, sun_ref, svn_ref, sui_ref, svi_ref,
+         sn_ref, mn_ref, sw_ref, mw_ref) = refs[:10]
+        t_refs = refs[10 : 10 + len(tnd_args)]
+        osu_ref, osv_ref = refs[10 + len(tnd_args) :]
+        uf = u_ref[:]
+        vf = v_ref[:]
+        su_n = sun_ref[:]
+        sv_n = svn_ref[:]
+
+        div_su = _div_tile(order, TX, ny, nb, dx, dy, uf, vf, sui_ref[:])
+        div_sv = _div_tile(order, TX, ny, nb, dx, dy, uf, vf, svi_ref[:])
+
+        # pressure gradient on the tile: windows carry e >= 1 halo columns
+        c = slice(e, e + TX)
+        cp1 = slice(e + 1, e + TX + 1)
+        cm1 = slice(e - 1, e + TX - 1)
+        jp1 = slice(nb + 1, ny - nb + 1)
+        jm1 = slice(nb - 1, ny - nb - 1)
+        s_n = sn_ref[:]
+        m_n = mn_ref[:]
+        s_w = sw_ref[:]
+        m_w = mw_ref[:]
+        pgx = (1.0 - eps) * s_n[c, jin] * (m_n[cp1, jin] - m_n[cm1, jin]) / (
+            2.0 * dx
+        ) + eps * s_w[c, jin] * (m_w[cp1, jin] - m_w[cm1, jin]) / (2.0 * dx)
+        pgy = (1.0 - eps) * s_n[c, jin] * (m_n[c, jp1] - m_n[c, jm1]) / (
+            2.0 * dy
+        ) + eps * s_w[c, jin] * (m_w[c, jp1] - m_w[c, jm1]) / (2.0 * dy)
+
+        su_rhs = div_su + pgx
+        sv_rhs = div_sv + pgy
+        if tnd_args:
+            su_rhs = su_rhs - t_refs[0][:, jin]
+            sv_rhs = sv_rhs - t_refs[1][:, jin]
+        osu_ref[0:TX, jin] = su_n[:, jin] - dt * su_rhs
+        osv_ref[0:TX, jin] = sv_n[:, jin] - dt * sv_rhs
+        osu_ref[0:TX, 0:nb] = su_n[:, 0:nb]
+        osu_ref[0:TX, ny - nb : ny] = su_n[:, ny - nb : ny]
+        osv_ref[0:TX, 0:nb] = sv_n[:, 0:nb]
+        osv_ref[0:TX, ny - nb : ny] = sv_n[:, ny - nb : ny]
+
+    u_spec, v_spec, c_spec, h_spec = _specs(TX, e, ny, nz, nb)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(NXI // TX,),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[u_spec, v_spec, c_spec, c_spec, h_spec, h_spec]
+        + [h_spec] * 4
+        + [c_spec] * len(tnd_args),
+        out_specs=[c_spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), su_now.dtype)] * 2,
+        interpret=interpret,
+    )(u, v, su_now, sv_now, su_int, sv_int, s_now, mtg_now, s_new, mtg_new,
+      *tnd_args)
+    return _paste_x_edges(outs, (su_now, sv_now), nb, nx)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("order", "nb", "dt", "dx", "dy", "tile_x", "interpret"),
@@ -64,136 +292,21 @@ def fused_advection_step(
     tile_x: int = 32,
     interpret: bool = False,
 ):
-    """Step stacked fields through one fused upwind advection update.
-
-    Args:
-      u: (nx+1, ny, nz) staggered x-velocity.
-      v: (nx, ny+1, nz) staggered y-velocity.
-      phi_now / phi_int: (F, nx, ny, nz) stacked base / provisional fields.
-      tnd: optional (F, nx, ny, nz) stacked source terms (added as −(−tnd)).
-
-    Returns:
-      (F, nx, ny, nz): phi_now with the nb-inset interior updated.
-    """
-    F, nx, ny, nz = phi_now.shape
-    e = 2 if order == 3 else 3
-    assert order in (3, 5)
-    assert nb >= e, f"nb={nb} must be >= extent {e}"
-    NXI, NYI = nx - 2 * nb, ny - 2 * nb
-    TX = _pick_tile(NXI, tile_x)
-    # grid order (x-tile, field): the u/v block index is constant across the
-    # inner (field) steps, so Mosaic's revisiting optimisation fetches each
-    # velocity tile ONCE per x-tile instead of once per (field, x-tile)
-    grid = (NXI // TX, F)
-    has_tnd = tnd is not None
-
-    # Mosaic requires the last two block dims be full-size (or (8,128)-
-    # divisible): blocks span full (ny, nz); the y frame is handled in-kernel.
-    def kernel(*refs):
-        if has_tnd:
-            u_ref, v_ref, now_ref, int_ref, tnd_ref, out_ref = refs
-        else:
-            u_ref, v_ref, now_ref, int_ref, out_ref = refs
-            tnd_ref = None
-        phi = int_ref[0]          # (TX+2e, ny, nz)
-        uf = u_ref[:]             # (TX+1, ny, nz): faces of the TX output cells
-        vf = v_ref[:]             # (TX, ny+1, nz)
-        now = now_ref[0]          # (TX, ny, nz)
-
-        # x-fluxes at TX+1 faces, restricted to the y interior
-        jin = slice(nb, ny - nb)
-        if order == 3:
-            fx = _flux_3rd(
-                uf[:, jin],
-                phi[0 : TX + 1, jin],
-                phi[1 : TX + 2, jin],
-                phi[2 : TX + 3, jin],
-                phi[3 : TX + 4, jin],
-            )
-            fy = _flux_3rd(
-                vf[:, nb : ny - nb + 1],
-                phi[e : e + TX, nb - e : ny - nb - e + 1],
-                phi[e : e + TX, nb - e + 1 : ny - nb - e + 2],
-                phi[e : e + TX, nb - e + 2 : ny - nb - e + 3],
-                phi[e : e + TX, nb - e + 3 : ny - nb - e + 4],
-            )
-        else:
-            fx = _flux_5th(
-                uf[:, jin],
-                phi[0 : TX + 1, jin],
-                phi[1 : TX + 2, jin],
-                phi[2 : TX + 3, jin],
-                phi[3 : TX + 4, jin],
-                phi[4 : TX + 5, jin],
-                phi[5 : TX + 6, jin],
-            )
-            fy = _flux_5th(
-                vf[:, nb : ny - nb + 1],
-                phi[e : e + TX, nb - e : ny - nb - e + 1],
-                phi[e : e + TX, nb - e + 1 : ny - nb - e + 2],
-                phi[e : e + TX, nb - e + 2 : ny - nb - e + 3],
-                phi[e : e + TX, nb - e + 3 : ny - nb - e + 4],
-                phi[e : e + TX, nb - e + 4 : ny - nb - e + 5],
-                phi[e : e + TX, nb - e + 5 : ny - nb - e + 6],
-            )
-
-        div = (fx[1:] - fx[:-1]) / dx + (fy[:, 1:] - fy[:, :-1]) / dy
-        rhs = div - tnd_ref[0, :, jin] if has_tnd else div
-        # ref-slice writes (jnp .at[].set lowers to an unsupported scatter)
-        out_ref[0, :, jin] = now[:, jin] - dt * rhs
-        out_ref[0, :, 0:nb] = now[:, 0:nb]
-        out_ref[0, :, ny - nb : ny] = now[:, ny - nb : ny]
-
-    # Mosaic: all dims of a spec must be Element (or none); last two Element
-    # dims must be full-size (or (8,128)-divisible)
-    in_specs = [
-        # u faces nb+ix*TX .. +TX (inclusive), full (y, z)
-        pl.BlockSpec(
-            (pl.Element(TX + 1), pl.Element(ny), pl.Element(nz)),
-            lambda ix, f: (nb + ix * TX, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (pl.Element(TX), pl.Element(ny + 1), pl.Element(nz)),
-            lambda ix, f: (nb + ix * TX, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (pl.Element(1), pl.Element(TX), pl.Element(ny), pl.Element(nz)),
-            lambda ix, f: (f, nb + ix * TX, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (pl.Element(1), pl.Element(TX + 2 * e), pl.Element(ny), pl.Element(nz)),
-            lambda ix, f: (f, nb - e + ix * TX, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    ]
-    args = [u, v, phi_now, phi_int]
-    if has_tnd:
-        in_specs.append(
-            pl.BlockSpec(
-                (pl.Element(1), pl.Element(TX), pl.Element(ny), pl.Element(nz)),
-                lambda ix, f: (f, nb + ix * TX, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        )
-        args.append(tnd)
-
-    interior = pl.pallas_call(
-        kernel,
-        grid=grid,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (pl.Element(1), pl.Element(TX), pl.Element(ny), pl.Element(nz)),
-            lambda ix, f: (f, ix * TX, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((F, NXI, ny, nz), phi_now.dtype),
+    """Stacked-layout convenience wrapper over ``fused_advection_fields``
+    (kept for oracle tests; the prognostics pass separate fields)."""
+    F = phi_now.shape[0]
+    outs = fused_advection_fields(
+        u,
+        v,
+        tuple(phi_now[i] for i in range(F)),
+        tuple(phi_int[i] for i in range(F)),
+        tuple(tnd[i] for i in range(F)) if tnd is not None else None,
+        order=order,
+        nb=nb,
+        dt=dt,
+        dx=dx,
+        dy=dy,
+        tile_x=tile_x,
         interpret=interpret,
-    )(*args)
-
-    return phi_now.at[:, nb : nb + NXI].set(interior)
+    )
+    return jnp.stack(outs)

@@ -70,3 +70,21 @@ def test_numpy_backend_matches_jax():
         np.testing.assert_allclose(a, b, rtol=1e-10, err_msg=name)
     # the numpy path really stayed on numpy
     assert isinstance(cur_np["air_isentropic_density"].data, np.ndarray)
+
+
+def test_pallas_interpret_backend_matches_jax():
+    """The fused Pallas dycore path (per-field advection + in-kernel pressure
+    gradient momentum step + MXU-scan Montgomery) vs the pure-jnp path."""
+    core_pl, state_pl = build("pallas:interpret")
+    core_jx, state_jx = build("jax")
+
+    cur_pl, cur_jx = dict(state_pl), dict(state_jx)
+    for _ in range(2):
+        cur_pl = core_pl(cur_pl, {}, timedelta(seconds=10))
+        cur_jx = core_jx(cur_jx, {}, timedelta(seconds=10))
+
+    for name in ("air_isentropic_density", "x_momentum_isentropic",
+                 "y_momentum_isentropic", "x_velocity_at_u_locations"):
+        a = np.asarray(cur_pl[name].data)
+        b = np.asarray(cur_jx[name].data)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8, err_msg=name)
