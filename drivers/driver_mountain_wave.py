@@ -1,0 +1,146 @@
+"""Linear mountain-wave validation driver — BASELINE config 3.
+
+Runs 2-D isothermal flow over a 1-m Witch-of-Agnesi mountain and compares the
+steady u-perturbation with the analytic solution (Durran 1981; reference
+``src/tasmania/utils/meteo.py:51``), printing pattern correlation and
+amplitude ratio.  Use ``--sweep`` for the resolution-convergence study
+(TODO.md validation item).
+
+Usage: python drivers/driver_mountain_wave.py [--nx 81] [--nz 60]
+       [--hours 5] [--dt 20] [--platform cpu] [--sweep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import datetime
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def run_case(nx: int, nz: int, hours: float, dt_s: float):
+    import jax
+    import jax.numpy as jnp
+
+    from tasmania_tpu.domain import Domain
+    from tasmania_tpu.framework.field import FieldArray
+    from tasmania_tpu.isentropic import (
+        IsentropicDynamicalCore,
+        get_isentropic_state_from_brunt_vaisala_frequency,
+    )
+    from tasmania_tpu.isentropic.dynamics.diagnostics import (
+        IsentropicDiagnostics as DynDiag,
+    )
+    from tasmania_tpu.utils.meteo import get_isothermal_isentropic_analytical_solution
+
+    T0, cp, g0 = 300.0, 1004.0, 9.80665
+    N = g0 / np.sqrt(cp * T0)
+    h, a_w = 1.0, 1e4
+
+    domain = Domain(
+        (-2e5, 2e5), nx, (0.0, 1.0), 1,
+        FieldArray(np.array([360.0, 300.0]), "K", ("z",)), nz,
+        horizontal_boundary_type="relaxed", nb=3,
+        horizontal_boundary_kwargs={"nr": 6},
+        topography_type="user_defined",
+        topography_kwargs={"profile": lambda x, y: h * a_w**2 / (x**2 + a_w**2)},
+    )
+    cgrid = domain.numerical_grid
+    state = get_isentropic_state_from_brunt_vaisala_frequency(
+        cgrid, datetime(2000, 1, 1),
+        FieldArray(np.asarray(10.0), "m s^-1", ()),
+        FieldArray(np.asarray(0.0), "m s^-1", ()),
+        FieldArray(np.asarray(N), "s^-1", ()),
+    )
+    domain.horizontal_boundary.reference_state = state
+    pt = float(np.asarray(state["air_pressure_on_interface_levels"].data)[0, 0, 0])
+    core = IsentropicDynamicalCore(
+        domain, moist=False,
+        time_integration_scheme="rk3ws_si",
+        horizontal_flux_scheme="third_order_upwind",
+        time_integration_properties={"pt": pt, "eps": 0.5},
+        damp=True, damp_depth=max(8, nz // 5), damp_max=0.0005,
+        damp_at_every_stage=False,
+        smooth=False,
+    )
+    dd = DynDiag(cgrid)
+
+    names = sorted(k for k in state if k != "time")
+    units = {k: state[k].units for k in names}
+    dims = {k: state[k].dims for k in names}
+
+    def step(fields):
+        st = {k: FieldArray(v, units[k], dims[k]) for k, v in fields.items()}
+        st = core(st, {}, dt_s)
+        mtg = dd.get_montgomery_potential(st["air_isentropic_density"].data, pt)
+        st["montgomery_potential"] = st["montgomery_potential"].with_data(mtg)
+        return {k: st[k].data for k in names}
+
+    nt = int(round(hours * 3600.0 / dt_s))
+
+    @jax.jit
+    def run_all(fields, n):
+        return jax.lax.fori_loop(0, n, lambda i, f: step(f), fields)
+
+    fields = {k: state[k].data for k in names}
+    fields = run_all(fields, nt)
+    u_num = np.asarray(
+        jnp.asarray(fields["x_velocity_at_u_locations"])
+    )[:, 0, :]
+
+    u_an, _ = get_isothermal_isentropic_analytical_solution(
+        domain.physical_grid,
+        FieldArray(np.asarray(10.0), "m s^-1", ()),
+        FieldArray(np.asarray(T0), "K", ()),
+        FieldArray(np.asarray(h), "m", ()),
+        FieldArray(np.asarray(a_w), "m", ()),
+    )
+    u_an = np.asarray(u_an.data)[:, 0, :]
+
+    # compare perturbations on the interior, away from the sponge
+    kd = max(8, nz // 5)
+    du_n = (u_num[6:-6, kd + 4 :] - 10.0).ravel()
+    du_a = (u_an[6:-6, kd + 4 :] - 10.0).ravel()
+    corr = float(
+        np.corrcoef(du_n, du_a)[0, 1]
+    )
+    amp = float(np.abs(du_n).max() / np.abs(du_a).max())
+    return {"nx": nx, "nz": nz, "hours": hours, "dt": dt_s,
+            "corr": round(corr, 4), "amplitude_ratio": round(amp, 4)}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=81)
+    ap.add_argument("--nz", type=int, default=60)
+    ap.add_argument("--hours", type=float, default=5.0)
+    ap.add_argument("--dt", type=float, default=20.0)
+    ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--sweep", action="store_true",
+                    help="resolution-convergence study")
+    cli = ap.parse_args(argv)
+    if cli.platform:
+        import jax
+
+        jax.config.update("jax_platforms", cli.platform)
+
+    if cli.sweep:
+        results = [
+            run_case(81, 60, cli.hours, 20.0),
+            run_case(161, 90, cli.hours, 10.0),
+            run_case(321, 120, cli.hours, 5.0),
+        ]
+    else:
+        results = [run_case(cli.nx, cli.nz, cli.hours, cli.dt)]
+    for r in results:
+        print(json.dumps(r), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()
