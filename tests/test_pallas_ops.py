@@ -315,3 +315,78 @@ def test_fused_smagorinsky_rk2_matches_generic():
             np.asarray(o_fus[k].data), np.asarray(o_ref[k].data),
             rtol=1e-5, atol=1e-6, err_msg=k,
         )
+
+
+def test_fused_kessler_rk2_chain_matches_generic():
+    from tasmania_tpu.framework.steppers import TendencyStepper
+    from tasmania_tpu.isentropic.utils import (
+        AirPotentialTemperatureToDiagnostic,
+        AirPotentialTemperatureToTendency,
+    )
+    from tasmania_tpu.physics import (
+        KesslerMicrophysics,
+        KesslerSaturationAdjustmentPrognostic,
+    )
+
+    domain, state = _small_moist_setup()
+
+    rng = np.random.default_rng(9)
+    shp = np.asarray(state["air_isentropic_density"].data).shape
+    from tasmania_tpu.framework.field import FieldArray
+    from tasmania_tpu.isentropic.dynamics.diagnostics import IsentropicDiagnostics
+    dd = IsentropicDiagnostics(domain.numerical_grid, backend="jax")
+    p, exn, mtg, h, rho, t = dd.get_diagnostic_variables(
+        jnp.asarray(state["air_isentropic_density"].data), 2000.0, moist=True
+    )
+    state["air_density"] = FieldArray(rho, "kg m^-3", ("x", "y", "z"))
+    state["air_temperature"] = FieldArray(t, "K", ("x", "y", "z"))
+    state["air_pressure_on_interface_levels"] = FieldArray(
+        p, "Pa", ("x", "y", "z_on_interface_levels")
+    )
+    state["exner_function_on_interface_levels"] = FieldArray(
+        exn, "J K^-1 kg^-1", ("x", "y", "z_on_interface_levels")
+    )
+    state["mass_fraction_of_precipitation_water_in_air"] = FieldArray(
+        jnp.asarray(1e-3 * rng.random(shp), dtype=jnp.float32), "g g^-1", ("x", "y", "z")
+    )
+    state["mass_fraction_of_cloud_liquid_water_in_air"] = FieldArray(
+        jnp.asarray(2e-3 * rng.random(shp), dtype=jnp.float32), "g g^-1", ("x", "y", "z")
+    )
+    state["tendency_of_air_potential_temperature"] = FieldArray(
+        jnp.asarray(1e-3 * rng.standard_normal(shp), dtype=jnp.float32),
+        "K s^-1", ("x", "y", "z"),
+    )
+    dt = 7.0
+
+    def build_chain_a(backend):
+        ke = KesslerMicrophysics(
+            domain, "numerical", air_pressure_on_interface_levels=True,
+            tendency_of_air_potential_temperature_in_diagnostics=False,
+            rain_evaporation=True, backend=backend,
+        )
+        t2d = AirPotentialTemperatureToDiagnostic(domain, "numerical", backend=backend)
+        return TendencyStepper.factory("rk2", ke, t2d, execution_policy="serial")
+
+    def build_chain_b(backend):
+        d2t = AirPotentialTemperatureToTendency(domain, "numerical", backend=backend)
+        sa = KesslerSaturationAdjustmentPrognostic(
+            domain, "numerical", air_pressure_on_interface_levels=True,
+            saturation_rate=0.3, backend=backend,
+        )
+        t2d = AirPotentialTemperatureToDiagnostic(domain, "numerical", backend=backend)
+        return TendencyStepper.factory("rk2", d2t, sa, t2d, execution_policy="serial")
+
+    for build in (build_chain_a, build_chain_b):
+        d_ref, o_ref = build("jax")(state, dt)
+        d_fus, o_fus = build("pallas:interpret")(state, dt)
+        assert set(o_ref) == set(o_fus), build.__name__
+        for k in o_ref:
+            np.testing.assert_allclose(
+                np.asarray(o_fus[k].data), np.asarray(o_ref[k].data),
+                rtol=1e-5, atol=1e-10, err_msg=f"{build.__name__}:{k}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(d_fus["tendency_of_air_potential_temperature"].data),
+            np.asarray(d_ref["tendency_of_air_potential_temperature"].data),
+            rtol=1e-5, atol=1e-9, err_msg=build.__name__,
+        )
