@@ -8,8 +8,13 @@ tendency/diagnostic hooks, and the raw-array stage interface
 multi-stage loop unrolls into a single device program and XLA reuses/donates
 buffers — the reference's preallocated stage-output machinery is unnecessary.
 
-Substepping is scaffolded but unimplemented, exactly like the reference
-(``dycore.py:590-592`` raises ``NotImplementedError``).
+Substepping — scaffolded but dead in the reference (``dycore.py:590-592``
+raises ``NotImplementedError``) — is *implemented* here, following the
+reference's commented design (``dycore.py:594-680``): per stage, the subset of
+variables named by ``substep_output_properties`` is re-advanced by
+``int(substep_fractions[stage] * substeps)`` substeps of ``dt / substeps``,
+with the superfast tendency component evaluated before and the superfast
+diagnostic component after every substep.
 """
 
 from __future__ import annotations
@@ -62,11 +67,9 @@ class DynamicalCore(DomainComponent, StencilFactory, abc.ABC):
         )
         self.fast_tendency_component = wrap(fast_tendency_component)
         self.fast_diagnostic_component = wrap(fast_diagnostic_component)
-        if substeps > 0 or superfast_tendency_component or superfast_diagnostic_component:
-            raise NotImplementedError(
-                "substepping is scaffolded but unimplemented "
-                "(parity with reference dycore.py:590-592)"
-            )
+        self.substeps = int(substeps)
+        self.superfast_tendency_component = wrap(superfast_tendency_component)
+        self.superfast_diagnostic_component = wrap(superfast_diagnostic_component)
 
     # -- abstract stage interface ------------------------------------------------ #
     @property
@@ -99,14 +102,59 @@ class DynamicalCore(DomainComponent, StencilFactory, abc.ABC):
     ) -> Dict[str, Any]:
         """Raw stage step: arrays in declared units -> raw stepped arrays."""
 
+    # -- substep interface (reference ``dycore.py:277-355,751``; defaults
+    # disable substepping, mirroring the reference's `len(...) == 0` gate) ------ #
+    @property
+    def substep_input_properties(self) -> PropertyDict:
+        """Variables the substep step reads (reference ``dycore.py:277``)."""
+        return {}
+
+    @property
+    def substep_tendency_properties(self) -> PropertyDict:
+        """Tendencies the substep step may consume (reference ``:297``)."""
+        return {}
+
+    @property
+    def substep_output_properties(self) -> PropertyDict:
+        """Variables the substep step re-advances; empty disables substepping
+        (reference ``:317,576``)."""
+        return {}
+
+    @property
+    def substep_fractions(self):
+        """Per-stage fraction of ``substeps`` to run (reference ``:334``)."""
+        return tuple(1.0 for _ in range(self.stages))
+
+    def substep_array_call(
+        self,
+        stage: int,
+        substep: int,
+        raw_state: Mapping[str, Any],
+        raw_stage_state: Mapping[str, Any],
+        raw_substep_state: Mapping[str, Any],
+        raw_tendencies: Mapping[str, Any],
+        timestep: float,
+    ) -> Dict[str, Any]:
+        """One substep (reference commented design ``dycore.py:652-660``):
+        ``raw_state`` is the timestep-start state, ``raw_stage_state`` the
+        output of ``stage_array_call``, ``raw_substep_state`` the latest
+        substepped values; ``timestep`` is the FULL dt (divide by
+        ``self.substeps`` for the substep increment)."""
+        raise NotImplementedError(
+            "substeps > 0 with non-empty substep_output_properties requires "
+            "the subclass to implement substep_array_call"
+        )
+
     # -- public properties (derived) --------------------------------------------- #
     @property
     def input_properties(self) -> PropertyDict:
         props = dict(self.stage_input_properties)
-        ftc = self.fast_tendency_component
-        if ftc is not None:
-            for name, p in ftc.input_properties.items():
-                props.setdefault(name, dict(p))
+        for comp in (self.fast_tendency_component, self.superfast_tendency_component):
+            if comp is not None:
+                for name, p in comp.input_properties.items():
+                    props.setdefault(name, dict(p))
+        for name, p in self.substep_input_properties.items():
+            props.setdefault(name, dict(p))
         return props
 
     @property
@@ -204,6 +252,13 @@ class DynamicalCore(DomainComponent, StencilFactory, abc.ABC):
                 arr, props.get("units", "1"), field_dims(name)
             )
 
+        # substepping (reference commented design ``dycore.py:594-680``)
+        if self.substeps > 0 and len(self.substep_output_properties) > 0:
+            with Timer.timing("substeps"):
+                stage_state = self._substep_loop(
+                    stage, dt, state, raw_out, tmp_state, stage_state
+                )
+
         # fast diagnostic component on the stage output
         new_fdc_tends: Dict[str, Any] = {}
         fdc = self.fast_diagnostic_component
@@ -214,3 +269,69 @@ class DynamicalCore(DomainComponent, StencilFactory, abc.ABC):
             new_fdc_tends.pop("time", None)
 
         return stage_state, new_fdc_tends
+
+    def _substep_loop(
+        self,
+        stage: int,
+        dt: float,
+        state: Mapping[str, Any],
+        raw_stage_state: Mapping[str, Any],
+        stage_input_state: Mapping[str, Any],
+        stage_state: Dict[str, Any],
+    ) -> Dict[str, Any]:
+        """Re-advance the ``substep_output_properties`` variables from their
+        stage-input values in ``int(frac * substeps)`` forward substeps of
+        ``dt / substeps`` each, driving the superfast components per substep
+        (completes the reference's dead scaffold, ``dycore.py:613-680``)."""
+        frac = 1.0 if self.stages == 1 else self.substep_fractions[stage]
+        n = max(1, int(round(frac * self.substeps)))
+
+        raw_state = get_array_dict(
+            {k: v for k, v in state.items() if k in self.substep_input_properties},
+            {k: p for k, p in self.substep_input_properties.items() if k in state},
+        )
+
+        # substepped variables restart from the stage-input state; everything
+        # else carries the stage output
+        out_state: Dict[str, Any] = dict(stage_state)
+        for name in self.substep_output_properties:
+            if name in stage_input_state:
+                out_state[name] = stage_input_state[name]
+
+        stc = self.superfast_tendency_component
+        sdc = self.superfast_diagnostic_component
+        sub_td = timedelta(seconds=dt / self.substeps)
+
+        for substep in range(n):
+            tends: Mapping[str, Any] = {}
+            if stc is not None:
+                tends, diags = stc(out_state, sub_td)
+                out_state = self._dict_op.update(out_state, diags)
+
+            raw_substep_state = get_array_dict(out_state, self.substep_input_properties)
+            raw_tends = get_array_dict(
+                {k: v for k, v in tends.items() if k in self.substep_tendency_properties},
+                {
+                    k: p
+                    for k, p in self.substep_tendency_properties.items()
+                    if k in tends
+                },
+            )
+
+            raw_sub_out = self.substep_array_call(
+                stage, substep, raw_state, raw_stage_state, raw_substep_state, raw_tends, dt
+            )
+            for name, arr in raw_sub_out.items():
+                props = self.substep_output_properties.get(name, {})
+                out_state[name] = FieldArray(
+                    arr, props.get("units", "1"), field_dims(name)
+                )
+
+            if sdc is not None:
+                _, sdc_diags = sdc(out_state, sub_td)
+                out_state = self._dict_op.update(out_state, sdc_diags)
+
+        for name in self.substep_output_properties:
+            if name in out_state:
+                stage_state[name] = out_state[name]
+        return stage_state
