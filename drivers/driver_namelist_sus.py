@@ -250,6 +250,12 @@ def main(argv=None):
         help="run all niter steps inside one jitted lax.fori_loop "
         "(removes per-step dispatch overhead through the axon tunnel)",
     )
+    parser.add_argument(
+        "--bf16-carry", action="store_true",
+        help="with --fused-loop: store the loop-carried prognostics in "
+        "bfloat16 between steps (compute stays float32) — halves the "
+        "carry's HBM footprint at the cost of ~bf16 rounding per step",
+    )
     parser.add_argument("--virtual", type=int, default=0, help="N virtual CPU devices")
     cli = parser.parse_args(argv)
 
@@ -354,8 +360,14 @@ def main(argv=None):
         dead = {k: jnp.zeros_like(v) for k, v in fields.items() if k not in read}
         print(f"fused loop carries {len(read)}/{len(fields)} fields")
 
+        carry_dtype = jnp.bfloat16 if cli.bf16_carry else None
+
         def step_reduced(carry, hs):
+            if carry_dtype is not None:
+                carry = {k: v.astype(nl.so.dtype) for k, v in carry.items()}
             out = step({**dead, **carry}, hs)
+            if carry_dtype is not None:
+                return {k: out[k].astype(carry_dtype) for k in carry}
             return {k: out[k] for k in carry}
 
         def run_all(carry, hs, n):
@@ -364,16 +376,22 @@ def main(argv=None):
                 return step_reduced(carry, fact * hs)
             carry = jax.lax.fori_loop(0, n - 1, body, carry)
             # final step in full so diagnostics are materialized
+            if carry_dtype is not None:
+                carry = {k: v.astype(nl.so.dtype) for k, v in carry.items()}
             fact = jnp.minimum(n * dt_s / topo_time, 1.0)
             return step({**dead, **carry}, fact * hs)
 
         run_all_c = jax.jit(run_all, donate_argnums=(0,))
         carry0 = {k: v for k, v in fields.items() if k in read}
+        if carry_dtype is not None:
+            carry0 = {k: v.astype(carry_dtype) for k, v in carry0.items()}
 
         t0 = time.perf_counter()
         out = run_all_c(dict(carry0), hs_steady * 0.0, 1)
         float(probe(out))
         carry0 = {k: out[k] for k in read}
+        if carry_dtype is not None:
+            carry0 = {k: v.astype(carry_dtype) for k, v in carry0.items()}
         print(f"compile+warmup: {time.perf_counter() - t0:.1f} s", flush=True)
 
         Timer.reset()

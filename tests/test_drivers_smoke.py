@@ -38,3 +38,17 @@ def test_variant_runs(coupling, monkeypatch):
     u = np.asarray(st["x_velocity_at_u_locations"].data)
     assert np.isfinite(u).all()
     assert abs(u.max() - 22.5) < 1.0  # small perturbation of the background
+
+
+@pytest.mark.parametrize("extra", [[], ["--bf16-carry"]])
+def test_sus_driver_fused_loop(extra):
+    """The fused-loop benchmark path (and its experimental bf16-carry
+    variant) completes with finite validation numbers."""
+    from drivers.driver_namelist_sus import main
+
+    out = main(
+        ["--nx", "17", "--ny", "17", "--nz", "8", "--niter", "3", "--fused-loop"]
+        + extra
+    )
+    assert np.isfinite(out["umax"]) and np.isfinite(out["vmax"])
+    assert abs(out["umax"] - 22.5) < 2.0
