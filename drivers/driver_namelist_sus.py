@@ -256,6 +256,18 @@ def main(argv=None):
         "bfloat16 between steps (compute stays float32) — halves the "
         "carry's HBM footprint at the cost of ~bf16 rounding per step",
     )
+    parser.add_argument(
+        "--checkpoint-dir", type=str, default=None,
+        help="write sharded orbax checkpoints into this directory",
+    )
+    parser.add_argument(
+        "--checkpoint-every", type=int, default=25,
+        help="steps between checkpoints (with --checkpoint-dir)",
+    )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume from the latest checkpoint in --checkpoint-dir",
+    )
     parser.add_argument("--virtual", type=int, default=0, help="N virtual CPU devices")
     cli = parser.parse_args(argv)
 
@@ -320,7 +332,10 @@ def main(argv=None):
     step_c = jax.jit(step, donate_argnums=(0,)) if not cli.no_jit else step
     probe = jax.jit(lambda f: jnp.sum(f["air_isentropic_density"]))
 
-    fields = {k: state[k].data for k in field_names}
+    # copy: step_c donates its inputs, and the initial arrays are shared with
+    # hb.reference_state (closure constants of the trace) — donating the
+    # originals leaves deleted buffers behind any later retrace
+    fields = {k: jnp.array(state[k].data) for k in field_names}
 
     if cli.spmd:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -424,16 +439,51 @@ def main(argv=None):
 
     from tasmania_tpu.utils.timer import profile_trace
 
+    # periodic sharded checkpoints + resume (SURVEY.md §5.3/5.4: failure
+    # recovery = re-initialization from the latest orbax checkpoint)
+    ckpt = None
+    start = 0
+    if cli.checkpoint_dir:
+        import os as _os
+
+        from tasmania_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(_os.path.abspath(cli.checkpoint_dir))
+        if cli.resume and ckpt.latest_step is not None:
+            restored = ckpt.restore()
+            fields = {
+                k: jnp.asarray(restored[k].data) for k in field_names if k in restored
+            }
+            start = ckpt.latest_step
+            print(f"resumed from checkpoint step {start}")
+
+    def save_ckpt(step, fields):
+        # wait=True: step_c donates its inputs, so the next step would free
+        # these buffers under an async serializer
+        ckpt.save(
+            step,
+            {k: FieldArray(v, units[k], dims[k]) for k, v in fields.items()},
+            force=True,
+            wait=True,
+        )
+
     prof = profile_trace(cli.profile) if cli.profile else contextlib.nullcontext()
     Timer.reset()
     Timer.enabled = True
     t0 = time.perf_counter()
     with prof, Timer.timing("compute_time"):
-        for i in range(nt):
+        for i in range(start, nt):
             fact = min((i + 1) * dt_s / topo_time, 1.0)
             fields = step_c(dict(fields), fact * hs_steady)
+            if ckpt is not None and (i + 1) % cli.checkpoint_every == 0:
+                save_ckpt(i + 1, fields)
         float(probe(fields))  # forces completion through the axon tunnel
     elapsed = time.perf_counter() - t0
+    if ckpt is not None:
+        if nt % cli.checkpoint_every != 0:
+            save_ckpt(nt, fields)
+        ckpt.wait_until_finished()
+        ckpt.close()
 
     print("Simulation successfully completed. HOORAY!")
     u = np.asarray(fields["x_velocity_at_u_locations"])
@@ -441,7 +491,7 @@ def main(argv=None):
     umax = u[:, :-1].max() if u.shape[1] > 1 else u.max()
     vmax = v[:-1, :].max() if v.shape[0] > 1 else v.max()
     print(f"Validation: umax = {umax:.5f}, vmax = {vmax:.5f}")
-    gps = cgrid.nx * cgrid.ny * cgrid.nz * nt / elapsed
+    gps = cgrid.nx * cgrid.ny * cgrid.nz * max(nt - start, 1) / elapsed
     print(f"Compute time: {elapsed:.3f} s.")
     print(f"Throughput: {gps:.3e} gridpoints/s")
     return {"umax": float(umax), "vmax": float(vmax), "elapsed": elapsed, "gps": gps}

@@ -70,7 +70,17 @@ class CheckpointManager:
             item_names=("state", "meta"),
         )
 
-    def save(self, step: int, state: Mapping[str, Any], *, force: bool = False) -> bool:
+    def save(
+        self,
+        step: int,
+        state: Mapping[str, Any],
+        *,
+        force: bool = False,
+        wait: bool = False,
+    ) -> bool:
+        """``wait=True`` blocks until the shards are on disk — REQUIRED when
+        the caller donates the same buffers to the next jitted step (XLA
+        deletes them under the async serializer otherwise)."""
         ocp = self._ocp
         arrays, meta = _split(state)
         saved = self._mgr.save(
@@ -81,6 +91,8 @@ class CheckpointManager:
             ),
             force=force,
         )
+        if wait:
+            self._mgr.wait_until_finished()
         return bool(saved)
 
     def restore(

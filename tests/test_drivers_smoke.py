@@ -52,3 +52,20 @@ def test_sus_driver_fused_loop(extra):
     )
     assert np.isfinite(out["umax"]) and np.isfinite(out["vmax"])
     assert abs(out["umax"] - 22.5) < 2.0
+
+
+def test_sus_driver_checkpoint_resume(tmp_path):
+    """Kill-and-resume: a run checkpointed at step 4 resumes and reaches the
+    same final validation numbers as an uninterrupted run."""
+    from drivers.driver_namelist_sus import main
+
+    base = ["--nx", "17", "--ny", "17", "--nz", "8"]
+    full = main(base + ["--niter", "6"])
+
+    ck = str(tmp_path / "ck")
+    main(base + ["--niter", "4", "--checkpoint-dir", ck, "--checkpoint-every", "2"])
+    resumed = main(
+        base + ["--niter", "6", "--checkpoint-dir", ck, "--resume"]
+    )
+    assert abs(resumed["umax"] - full["umax"]) < 1e-4
+    assert abs(resumed["vmax"] - full["vmax"]) < 1e-4
