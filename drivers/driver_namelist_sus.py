@@ -268,6 +268,12 @@ def main(argv=None):
         "--resume", action="store_true",
         help="resume from the latest checkpoint in --checkpoint-dir",
     )
+    parser.add_argument(
+        "--nan-guard", action="store_true",
+        help="probe the state for non-finite values at every checkpoint "
+        "boundary; abort (without checkpointing the poisoned state) so a "
+        "supervisor can restart from the last good checkpoint with --resume",
+    )
     parser.add_argument("--virtual", type=int, default=0, help="N virtual CPU devices")
     cli = parser.parse_args(argv)
 
@@ -331,6 +337,9 @@ def main(argv=None):
 
     step_c = jax.jit(step, donate_argnums=(0,)) if not cli.no_jit else step
     probe = jax.jit(lambda f: jnp.sum(f["air_isentropic_density"]))
+    guard_probe = jax.jit(
+        lambda f: sum(jnp.sum(jnp.abs(v)) for v in f.values())
+    )
 
     # copy: step_c donates its inputs, and the initial arrays are shared with
     # hb.reference_state (closure constants of the trace) — donating the
@@ -475,7 +484,17 @@ def main(argv=None):
         for i in range(start, nt):
             fact = min((i + 1) * dt_s / topo_time, 1.0)
             fields = step_c(dict(fields), fact * hs_steady)
-            if ckpt is not None and (i + 1) % cli.checkpoint_every == 0:
+            at_boundary = (i + 1) % cli.checkpoint_every == 0
+            if cli.nan_guard and at_boundary:
+                # NaN/inf poisons the sum; one scalar fetch checks every field
+                if not np.isfinite(float(guard_probe(fields))):
+                    last = ckpt.latest_step if ckpt is not None else None
+                    raise RuntimeError(
+                        f"non-finite state detected at step {i + 1}; "
+                        f"last good checkpoint: step {last} "
+                        "(restart with --resume)"
+                    )
+            if ckpt is not None and at_boundary:
                 save_ckpt(i + 1, fields)
         float(probe(fields))  # forces completion through the axon tunnel
     elapsed = time.perf_counter() - t0

@@ -69,3 +69,23 @@ def test_sus_driver_checkpoint_resume(tmp_path):
     )
     assert abs(resumed["umax"] - full["umax"]) < 1e-4
     assert abs(resumed["vmax"] - full["vmax"]) < 1e-4
+
+
+def test_nan_guard_detects_blowup(monkeypatch):
+    """A CFL-unstable run trips the --nan-guard probe with an actionable
+    error instead of checkpointing a poisoned state (SURVEY §5.3)."""
+    import importlib
+    from datetime import timedelta
+
+    import drivers.namelist_sus as nl
+
+    importlib.reload(nl)
+    monkeypatch.setattr(nl, "timestep", timedelta(seconds=600))
+
+    from drivers.driver_namelist_sus import main
+
+    with pytest.raises(RuntimeError, match="non-finite state"):
+        main(
+            ["--nx", "17", "--ny", "17", "--nz", "8", "--niter", "40",
+             "--nan-guard", "--checkpoint-every", "5"]
+        )
