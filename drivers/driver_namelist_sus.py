@@ -277,6 +277,13 @@ def main(argv=None):
     parser.add_argument("--virtual", type=int, default=0, help="N virtual CPU devices")
     cli = parser.parse_args(argv)
 
+    if cli.fused_loop and (cli.checkpoint_dir or cli.resume or cli.nan_guard):
+        parser.error(
+            "--fused-loop runs all steps inside one jitted loop; the "
+            "checkpoint/resume/nan-guard machinery never sees intermediate "
+            "states there.  Drop --fused-loop or the checkpointing flags."
+        )
+
     if cli.virtual:
         import os
 
@@ -369,6 +376,9 @@ def main(argv=None):
 
         fields = {k: jax.device_put(v, _sharding(v)) for k, v in fields.items()}
         hs_steady = jax.device_put(hs_steady, NamedSharding(mesh, P("x", "y")))
+        field_sharding = {k: _sharding(v) for k, v in fields.items()}
+    else:
+        field_sharding = None
 
     if cli.fused_loop:
         # all steps inside ONE jitted while-loop: no per-step dispatch through
@@ -459,9 +469,26 @@ def main(argv=None):
 
         ckpt = CheckpointManager(_os.path.abspath(cli.checkpoint_dir))
         if cli.resume and ckpt.latest_step is not None:
-            restored = ckpt.restore()
+            # under --spmd, restore directly onto the current mesh layout so
+            # the resumed run keeps computing distributed (orbax re-shards
+            # elastically even if the checkpoint was written on another
+            # topology); without it the save-time / host-local layout is fine
+            restored = ckpt.restore(sharding=field_sharding)
+            missing = [k for k in field_names if k not in restored]
+            if missing:
+                print(
+                    f"warning: checkpoint lacks {missing}; "
+                    "keeping initial values for those fields"
+                )
             fields = {
-                k: jnp.asarray(restored[k].data) for k in field_names if k in restored
+                k: (
+                    jnp.asarray(restored[k].data)
+                    if field_sharding is None
+                    else restored[k].data
+                )
+                if k in restored
+                else fields[k]
+                for k in field_names
             }
             start = ckpt.latest_step
             print(f"resumed from checkpoint step {start}")

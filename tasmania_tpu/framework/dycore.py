@@ -284,7 +284,10 @@ class DynamicalCore(DomainComponent, StencilFactory, abc.ABC):
         ``dt / substeps`` each, driving the superfast components per substep
         (completes the reference's dead scaffold, ``dycore.py:613-680``)."""
         frac = 1.0 if self.stages == 1 else self.substep_fractions[stage]
-        n = max(1, int(round(frac * self.substeps)))
+        # truncating, may be 0 for early stages (reference scaffold semantics,
+        # ``dycore.py:613``): with n == 0 the loop body never runs and the
+        # substepped variables keep their stage-input values via the copy-back
+        n = int(frac * self.substeps)
 
         raw_state = get_array_dict(
             {k: v for k, v in state.items() if k in self.substep_input_properties},

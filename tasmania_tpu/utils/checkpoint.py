@@ -68,6 +68,12 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True
             ),
             item_names=("state", "meta"),
+            # explicit handlers: a freshly opened manager (resume path) must
+            # serve item_metadata() before any save/restore has registered them
+            item_handlers={
+                "state": ocp.StandardCheckpointHandler(),
+                "meta": ocp.JsonCheckpointHandler(),
+            },
         )
 
     def save(
@@ -104,9 +110,11 @@ class CheckpointManager:
         """Restore the state dict at ``step`` (default: latest).
 
         ``sharding`` re-lays-out every field on load: pass a single
-        ``jax.sharding.Sharding`` for all fields or ``{name: sharding}``.
-        Without it, arrays restore with the layout recorded at save time
-        (falling back to host-local numpy when those devices are absent).
+        ``jax.sharding.Sharding`` for all fields or ``{name: sharding}`` (a
+        field absent from the dict restores with its save-time layout).
+        Without it, arrays restore with the layout recorded at save time; if
+        those devices are absent in this process (e.g. an 8-device checkpoint
+        opened single-host), the restore falls back to host-local numpy.
         """
         ocp = self._ocp
         if step is None:
@@ -118,21 +126,32 @@ class CheckpointManager:
             step, args=ocp.args.Composite(meta=ocp.args.JsonRestore())
         )["meta"]
 
-        restore_args = None
-        if sharding is not None:
-            # build abstract arrays with the requested target layout
+        def _abstract(target_sharding):
             shapes = self._mgr.item_metadata(step)["state"]
             abstract = {}
             for name, m in shapes.items():
-                sh = sharding[name] if isinstance(sharding, dict) else sharding
+                if isinstance(target_sharding, dict):
+                    sh = target_sharding.get(name)
+                else:
+                    sh = target_sharding
                 abstract[name] = jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sh)
-            restore_args = ocp.args.Composite(
-                state=ocp.args.StandardRestore(abstract)
-            )
-        else:
-            restore_args = ocp.args.Composite(state=ocp.args.StandardRestore())
+            return ocp.args.Composite(state=ocp.args.StandardRestore(abstract))
 
-        arrays = self._mgr.restore(step, args=restore_args)["state"]
+        if sharding is not None:
+            arrays = self._mgr.restore(step, args=_abstract(sharding))["state"]
+        else:
+            try:
+                arrays = self._mgr.restore(
+                    step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+                )["state"]
+            except (ValueError, RuntimeError):
+                # save-time devices absent in this process: pull every shard
+                # to the default device, hand back host-local numpy
+                import numpy as _np
+
+                single = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+                arrays = self._mgr.restore(step, args=_abstract(single))["state"]
+                arrays = {k: _np.asarray(v) for k, v in arrays.items()}
         return _join(arrays, meta)
 
     @property

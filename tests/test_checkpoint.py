@@ -82,6 +82,53 @@ def test_elastic_restore_different_sharding(tmp_path):
         )
 
 
+def test_restore_without_sharding_when_devices_absent(tmp_path):
+    """A checkpoint written sharded over 8 devices restores WITHOUT a
+    ``sharding`` argument in a 1-device process, falling back to host-local
+    numpy (the documented single-host fallback).  Runs in a subprocess so the
+    save-time devices really are absent."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    ckdir = str(tmp_path / "ckpt")
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    state = _state(mesh)
+    with CheckpointManager(ckdir) as mgr:
+        mgr.save(5, state)
+        mgr.wait_until_finished()
+
+    script = f"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = ""  # one device: the 8 save-time devices are absent
+import sys; sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+assert len(jax.devices()) == 1
+import numpy as np
+from tasmania_tpu.utils.checkpoint import CheckpointManager
+with CheckpointManager({ckdir!r}) as mgr:
+    out = mgr.restore()
+arr = out["air_isentropic_density"].data
+assert arr.shape == (16, 8, 4), arr.shape
+print("OK", float(np.asarray(arr).sum()))
+"""
+    env = {k: v for k, v in __import__("os").environ.items()}
+    env.pop("XLA_FLAGS", None)
+    res = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, env=env
+    )
+    assert res.returncode == 0, res.stderr
+    assert "OK" in res.stdout
+    total = float(res.stdout.strip().split()[-1])
+    expected = float(np.asarray(state["air_isentropic_density"].data).sum())
+    np.testing.assert_allclose(total, expected, rtol=1e-12)
+
+
 def test_rotation_and_latest(tmp_path):
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
     state = _state(mesh)

@@ -171,3 +171,40 @@ def test_substep_fractions_multi_stage():
     growth = 1.0 + alpha * dtv / substeps
     b_ref = b0 * growth**2 * growth**4  # 2 substeps (stage 0) + 4 (stage 1)
     np.testing.assert_allclose(np.asarray(out["b"].data), b_ref, rtol=1e-12)
+
+
+def test_substep_count_truncates_and_zero_stage_keeps_input():
+    """``n = int(frac * substeps)`` truncates (reference scaffold,
+    ``dycore.py:613``): with fractions (1/3, 1/2, 1) and substeps=2, stage 0
+    runs int(2/3)=0 substeps — the substepped variable keeps its stage-input
+    value through that stage — and stage 1 runs int(1)=1, stage 2 int(2)=2."""
+
+    class ThreeStage(ToyCore):
+        @property
+        def stages(self):
+            return 3
+
+        @property
+        def substep_fractions(self):
+            return (1.0 / 3.0, 0.5, 1.0)
+
+        def stage_array_call(self, stage, raw_state, raw_tendencies, timestep):
+            return {"a": raw_state["a"]}
+
+    domain = make_domain()
+    substeps = 2
+    alpha = 0.1
+    core = ThreeStage(
+        domain,
+        substeps=substeps,
+        superfast_tendency_component=LinearB(domain, alpha=alpha),
+    )
+    state = _state(domain, seed=3)
+    b0 = np.asarray(state["b"].data).copy()
+    dtv = 6.0
+    out = core(state, {}, timedelta(seconds=dtv))
+    growth = 1.0 + alpha * dtv / substeps
+    # stage 0: 0 substeps (b unchanged) -> stage 1: 1 substep from b0 ->
+    # stage 2 restarts from the stage-input b (= stage-1 output): 2 substeps
+    b_ref = b0 * growth**1 * growth**2
+    np.testing.assert_allclose(np.asarray(out["b"].data), b_ref, rtol=1e-12)
