@@ -32,36 +32,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def build(nl):
+def build_domain_and_state(nl):
+    """Global domain + initial state + pt (the reusable host-side setup)."""
     import jax.numpy as jnp
 
     from tasmania_tpu.domain import Domain
-    from tasmania_tpu.framework import ConcurrentCoupling, TimeIntegrationOptions
     from tasmania_tpu.framework.field import FieldArray
-    from tasmania_tpu.framework.splitting import SequentialUpdateSplitting
     from tasmania_tpu.isentropic import (
-        IsentropicDynamicalCore,
         get_isentropic_state_from_brunt_vaisala_frequency,
-    )
-    from tasmania_tpu.isentropic.physics import (
-        IsentropicConservativeCoriolis,
-        IsentropicDiagnostics,
-        IsentropicHorizontalSmoothing,
-        IsentropicImplicitVerticalAdvectionDiagnostic,
-        IsentropicSmagorinsky,
-        IsentropicVelocityComponents,
-        IsentropicVerticalAdvection,
-    )
-    from tasmania_tpu.isentropic.utils import (
-        AirPotentialTemperatureToDiagnostic,
-        AirPotentialTemperatureToTendency,
-    )
-    from tasmania_tpu.physics import (
-        KesslerFallVelocity,
-        KesslerMicrophysics,
-        KesslerSaturationAdjustmentPrognostic,
-        KesslerSedimentation,
-        Precipitation,
     )
 
     common = dict(backend=nl.backend, backend_options=nl.bo, storage_options=nl.so)
@@ -103,6 +81,38 @@ def build(nl):
 
     pt_v = float(np.asarray(state["air_pressure_on_interface_levels"].data)[0, 0, 0])
     pt = FieldArray(np.asarray(pt_v), "Pa", ())
+    return domain, state, pt
+
+
+def build_model(nl, domain, pt):
+    """Dycore + SUS physics chain against ``domain`` (global OR a per-shard
+    ``LocalDomain`` — the distributed runner reuses exactly this construction,
+    VERDICT round-1 item 1)."""
+    from tasmania_tpu.framework import ConcurrentCoupling, TimeIntegrationOptions
+    from tasmania_tpu.framework.splitting import SequentialUpdateSplitting
+    from tasmania_tpu.isentropic import IsentropicDynamicalCore
+    from tasmania_tpu.isentropic.physics import (
+        IsentropicConservativeCoriolis,
+        IsentropicDiagnostics,
+        IsentropicHorizontalSmoothing,
+        IsentropicImplicitVerticalAdvectionDiagnostic,
+        IsentropicSmagorinsky,
+        IsentropicVelocityComponents,
+        IsentropicVerticalAdvection,
+    )
+    from tasmania_tpu.isentropic.utils import (
+        AirPotentialTemperatureToDiagnostic,
+        AirPotentialTemperatureToTendency,
+    )
+    from tasmania_tpu.physics import (
+        KesslerFallVelocity,
+        KesslerMicrophysics,
+        KesslerSaturationAdjustmentPrognostic,
+        KesslerSedimentation,
+        Precipitation,
+    )
+
+    common = dict(backend=nl.backend, backend_options=nl.bo, storage_options=nl.so)
 
     dycore = IsentropicDynamicalCore(
         domain,
@@ -225,6 +235,12 @@ def build(nl):
     )
 
     physics = SequentialUpdateSplitting(*args)
+    return dycore, physics
+
+
+def build(nl):
+    domain, state, pt = build_domain_and_state(nl)
+    dycore, physics = build_model(nl, domain, pt)
     return domain, dycore, physics, state
 
 
@@ -275,6 +291,11 @@ def main(argv=None):
         "supervisor can restart from the last good checkpoint with --resume",
     )
     parser.add_argument("--virtual", type=int, default=0, help="N virtual CPU devices")
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed before device discovery (multi-host "
+        "slice; coordinator/process ids from JAX_COORDINATOR_ADDRESS etc.)",
+    )
     cli = parser.parse_args(argv)
 
     if cli.fused_loop and (cli.checkpoint_dir or cli.resume or cli.nan_guard):
@@ -297,6 +318,10 @@ def main(argv=None):
 
     if cli.platform:
         jax.config.update("jax_platforms", cli.platform)
+    if cli.multihost:
+        from tasmania_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed()
     import jax.numpy as jnp
 
     import drivers.namelist_sus as nl

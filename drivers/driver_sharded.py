@@ -1,19 +1,18 @@
 """Sharded (domain-decomposed) isentropic benchmark driver (dry or moist).
 
-BASELINE config 5: prognostic fields block-sharded over a 2-D device mesh with
-ppermute halo exchange.  On this container only one real TPU chip is visible;
+BASELINE config 5: the REAL framework model — ``IsentropicDynamicalCore``
+(rk3ws_si + fifth-order upwind), optionally the full moist SUS physics chain —
+``shard_map``-distributed over a 2-D device mesh with explicit ppermute halo
+exchange (``tasmania_tpu.parallel.runner.DistributedModel``; replaces the
+round-1 bespoke step).  On this container only one real TPU chip is visible;
 pass ``--virtual N`` to exercise the multi-device path on N virtual CPU
 devices (functional validation), or run as-is on the real chip (mesh 1x1 —
 measures the shard-local compute path).  On a real pod slice the same script
-scales unchanged.
+scales unchanged; pass ``--multihost`` to initialize ``jax.distributed``
+(see tasmania_tpu/parallel/multihost.py).
 
 Usage: ``python drivers/driver_sharded.py [--nx N] [--nz N] [--niter N]
-[--virtual N] [--moist]``
-
-``--moist`` runs the full-fidelity moist step: the three water-species mass
-fractions advected with per-stage mass-fraction⇄density conversion, plus
-staggered-velocity diagnosis with outermost-face pinning — the distributed
-equivalent of the single-device moist dycore's stage flow.
+[--virtual N] [--physics] [--f64]``
 """
 
 from __future__ import annotations
@@ -37,7 +36,17 @@ def main(argv=None):
     parser.add_argument("--nz", type=int, default=64)
     parser.add_argument("--niter", type=int, default=50)
     parser.add_argument("--virtual", type=int, default=0, help="N virtual CPU devices")
-    parser.add_argument("--moist", action="store_true")
+    parser.add_argument(
+        "--physics", action="store_true",
+        help="run the FULL moist SUS physics chain (Kessler etc.) distributed",
+    )
+    parser.add_argument("--f64", action="store_true")
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="call jax.distributed.initialize() before device discovery "
+        "(coordinator/process env per JAX_COORDINATOR_ADDRESS etc.)",
+    )
+    parser.add_argument("--backend", type=str, default="jax")
     cli = parser.parse_args(argv)
 
     if cli.virtual:
@@ -50,119 +59,91 @@ def main(argv=None):
 
     if cli.virtual:
         jax.config.update("jax_platforms", "cpu")
+    if cli.multihost:
+        from tasmania_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed()
+    if cli.f64:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
-    from tasmania_tpu.domain import Domain
-    from tasmania_tpu.dwarfs.vertical_damping import VerticalDamping
-    from tasmania_tpu.framework.field import FieldArray
-    from tasmania_tpu.isentropic import (
-        get_isentropic_state_from_brunt_vaisala_frequency,
-    )
     from tasmania_tpu.parallel import make_mesh
-    from tasmania_tpu.parallel.isentropic import (
-        ShardedIsentropicConfig,
-        build_relaxed_gamma_mask,
-        make_sharded_dry_step,
-    )
+    from tasmania_tpu.parallel.runner import DistributedModel
 
     mesh = make_mesh(jax.devices())
     px, py = mesh.devices.shape
     nx = cli.nx - cli.nx % px or px * 8
     ny = (cli.ny or cli.nx) - (cli.ny or cli.nx) % py or py * 8
-    nz, nb, nr = cli.nz, 3, 6
+    nz = cli.nz
     print(f"mesh {px}x{py}, grid {nx}x{ny}x{nz}")
 
-    domain = Domain(
-        (0.0, 2.2e3 * nx), nx, (0.0, 2.2e3 * ny), ny,
-        FieldArray(np.array([400.0, 280.0]), "K", ("z",)), nz,
-        horizontal_boundary_type="relaxed", nb=nb,
-        horizontal_boundary_kwargs={"nr": nr},
-        topography_type="gaussian",
-        topography_kwargs={
-            "max_height": FieldArray(np.asarray(500.0), "m", ()),
-            "width_x": FieldArray(np.asarray(50e3), "m", ()),
-            "width_y": FieldArray(np.asarray(50e3), "m", ()),
-        },
-    )
-    g = domain.numerical_grid
-    state = get_isentropic_state_from_brunt_vaisala_frequency(
-        g, datetime(2000, 1, 1),
-        FieldArray(np.asarray(22.5), "m s^-1", ()),
-        FieldArray(np.asarray(0.0), "m s^-1", ()),
-        FieldArray(np.asarray(0.015), "s^-1", ()),
-        moist=cli.moist,
-        relative_humidity=0.5,
-    )
-    cfg = ShardedIsentropicConfig(
-        nb=nb,
-        dx=float(np.asarray(g.dx.data)),
-        dy=float(np.asarray(g.dy.data)),
-        dz=float(np.asarray(g.dz.data)),
-        pt=float(np.asarray(state["air_pressure_on_interface_levels"].data)[0, 0, 0]),
-        eps=0.5,
-    )
-    theta_s = float(np.asarray(g.z_on_interface_levels.data)[-1])
-    vd = VerticalDamping.factory("rayleigh", g, damp_depth=15, damp_coeff_max=0.0005)
-    gamma, mask = build_relaxed_gamma_mask(nx, ny, nb, nr)
-    step, sh3, sh2 = make_sharded_dry_step(
-        mesh, cfg, theta_s, vd._rmat[False],
-        moist=cli.moist, diagnose_velocities=cli.moist,
-    )
+    import drivers.namelist_sus as nl
+    from drivers.driver_namelist_sus import build_domain_and_state, build_model
 
-    dtype = np.float32
-    put3 = lambda x: jax.device_put(jnp.asarray(np.asarray(x), dtype=dtype), sh3)
-    put2 = lambda x: jax.device_put(jnp.asarray(np.asarray(x), dtype=dtype), sh2)
-    s = put3(state["air_isentropic_density"].data)
-    su = put3(state["x_momentum_isentropic"].data)
-    sv = put3(state["y_momentum_isentropic"].data)
-    hs = put2(np.asarray(g.topography.steady_profile.to_units("m").data))
-    gam, msk = put2(gamma), put2(mask)
-    s0, su0, sv0 = s, su, sv
+    nl.nx, nl.ny, nl.nz = nx, ny, nz
+    if cli.f64:
+        from tasmania_tpu.framework.options import StorageOptions
 
-    extra = ()
-    if cli.moist:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        nl.so = StorageOptions(dtype=np.float64)
+    nl.backend = cli.backend
 
-        sh4 = NamedSharding(mesh, P(None, "x", "y", None))
-        mf = (
-            "mass_fraction_of_water_vapor_in_air",
-            "mass_fraction_of_cloud_liquid_water_in_air",
-            "mass_fraction_of_precipitation_water_in_air",
+    domain, state, pt = build_domain_and_state(nl)
+    dt = nl.timestep.total_seconds()
+
+    if cli.physics:
+        factory = lambda dom: build_model(nl, dom, pt)
+    else:
+        from tasmania_tpu.isentropic import IsentropicDynamicalCore
+
+        def factory(dom):
+            core = IsentropicDynamicalCore(
+                dom,
+                moist=True,
+                time_integration_scheme=nl.time_integration_scheme,
+                horizontal_flux_scheme=nl.horizontal_flux_scheme,
+                time_integration_properties={"pt": pt, "eps": nl.eps},
+                damp=nl.damp,
+                damp_type=nl.damp_type,
+                damp_depth=nl.damp_depth,
+                damp_max=nl.damp_max,
+                damp_at_every_stage=nl.damp_at_every_stage,
+                smooth=False,
+                backend=nl.backend,
+                backend_options=nl.bo,
+                storage_options=nl.so,
+            )
+            return core, None
+
+    dm = DistributedModel(domain, state, mesh, factory, dt)
+    fields = dm.scatter_state(state)
+    hs_steady = dm.put_topography(
+        jnp.asarray(
+            np.asarray(
+                domain.numerical_grid.topography.steady_profile.to_units("m").data
+            ),
+            dtype=nl.so.dtype,
         )
-        q = jax.device_put(
-            jnp.stack([jnp.asarray(np.asarray(state[k].data), dtype=dtype) for k in mf]),
-            sh4,
-        )
-        u_ref = put3(np.asarray(state["x_velocity_at_u_locations"].data)[:-1])
-        v_ref = put3(np.asarray(state["y_velocity_at_v_locations"].data)[:, :-1])
-        extra = (q, q, u_ref, v_ref)
-
-    probe = jax.jit(lambda x: jnp.sum(x))
-    dt = 5.0
-
-    def run_once():
-        nonlocal extra
-        out = step(s, su, sv, hs, gam, msk, s0, su0, sv0, dt, *extra)
-        if cli.moist:
-            extra = (out[3], extra[1], extra[2], extra[3])
-        return out[0], out[1], out[2]
+    )
+    topo_time = nl.topo_kwargs["time"].total_seconds()
+    probe = jax.jit(lambda f: jnp.sum(f["air_isentropic_density"]))
 
     t0 = time.perf_counter()
-    s_, su_, sv_ = run_once()
-    float(probe(s_))
+    out = dm.step(fields, dm.put_topography(0.0 * hs_steady))
+    float(probe(out))
     print(f"compile+warmup: {time.perf_counter() - t0:.1f} s", flush=True)
 
     t0 = time.perf_counter()
-    for _ in range(cli.niter):
-        s, su, sv = run_once()
-    float(probe(s))
+    for i in range(cli.niter):
+        fact = min((i + 1) * dt / topo_time, 1.0)
+        fields = dm.step(fields, fact * hs_steady)
+    float(probe(fields))
     elapsed = time.perf_counter() - t0
 
-    u = np.asarray(su) / np.asarray(s)
+    u = np.asarray(fields["x_velocity_at_u_locations"])
     print(f"Validation: umax = {u.max():.5f}")
     gps = nx * ny * nz * cli.niter / elapsed
     print(f"Compute time: {elapsed:.3f} s; throughput: {gps:.3e} gridpoints/s")
-    return {"gps": gps, "elapsed": elapsed}
+    return {"gps": gps, "elapsed": elapsed, "umax": float(u.max())}
 
 
 if __name__ == "__main__":

@@ -254,6 +254,54 @@ class HorizontalBoundary(StencilFactory, abc.ABC):
             out[name] = fa.with_data(new_data)
         return out
 
+    # -- distribution hooks ------------------------------------------------------ #
+    # These are the seams where the distributed build (``tasmania_tpu.parallel.
+    # distributed.DistributedBoundary``) splices halo exchange and global-frame
+    # masking into the SAME component code paths that run single-device
+    # (SURVEY.md §2.8/§5.8: the reference's ``enforce_*`` ghost-layer sites,
+    # ``horizontal_boundary.py:44``, become the communication layer).  On a
+    # single device they are all identity/no-cost.
+
+    def refresh_halos(self, field, field_name: Optional[str] = None):
+        """Validate the ghost layers of ``field``.
+
+        Single device: identity (the numerical grid either has no ghost frame,
+        or — periodic — the frame is maintained by ``enforce_field``).
+        Distributed: ppermute halo exchange with the neighbouring shards.
+        Components whose stencil outputs leave ghost layers stale (smoothing,
+        Smagorinsky tendencies) call this on their outputs."""
+        return field
+
+    def restrict_stencil_output(
+        self, out, base=None, nb: Optional[int] = None, field_name=None
+    ):
+        """Restrict a stencil-computed ``out`` to the computational domain.
+
+        The caller has already written its locally-computed interior into
+        ``out`` (frame values taken from ``base`` or zero).  Single device the
+        local frame IS the physical-domain frame, so this is identity.
+        Distributed: additionally keep ``base`` (zero if None) on cells within
+        ``nb`` of the *global* domain edge — the cells the single-device
+        stencil never writes (reference computation domains
+        ``origin=(nb,nb,0)``, ``rk3ws_si.py:175``)."""
+        return out
+
+    def zero_physical_frame(self, full, nb: int, field_name=None):
+        """Zero ``full`` on the nb-wide frame of the *physical* domain, keeping
+        the (pointwise-computed) values elsewhere.  For pointwise tendencies
+        (e.g. Coriolis) that the reference restricts to the nb-inset interior:
+        computing everywhere and masking the global frame keeps shard halos
+        valid with no exchange."""
+        from tasmania_tpu.utils.array import get_namespace
+
+        xp = get_namespace(full)
+        if xp is np:
+            out = np.zeros_like(full)
+        else:
+            out = xp.zeros_like(full)
+        sl = (slice(nb, full.shape[0] - nb), slice(nb, full.shape[1] - nb))
+        return paste(out, sl, full[sl])
+
     # -- reference-state access ------------------------------------------------ #
     def _ref_field(self, field_name: str, field_units: Optional[str]):
         ref = self.reference_state[field_name]

@@ -205,7 +205,13 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
                 [state[n] for n in names],
                 tnds,
             )
-            return dict(zip(names, stepped))
+            hb = self.horizontal_boundary
+            return {
+                n: hb.restrict_stencil_output(phi, base=s_now_dict[n], nb=nb)
+                for n, phi in zip(names, stepped)
+            }
+
+        hb = self.horizontal_boundary
 
         def step_one(name, phi_now, phi_int, tnd, scale_by_s):
             fx = self._hflux.flux_x(u_int, phi_int)
@@ -216,7 +222,11 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
                 src = s_int[iin, jin] * tnd[iin, jin] if scale_by_s else tnd[iin, jin]
                 rhs = rhs - src
             interior = phi_now[iin, jin] - dt * rhs
-            return _paste_interior(phi_now, interior, nb, xp)
+            out = _paste_interior(phi_now, interior, nb, xp)
+            # distributed: keep phi_now on cells within nb of the GLOBAL edge
+            # (the cells the single-device stencil never writes); identity on
+            # a single device
+            return hb.restrict_stencil_output(out, base=phi_now, nb=nb)
 
         out["air_isentropic_density"] = step_one(
             "s",
@@ -294,6 +304,9 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
 
         su_new = _paste_interior(su_now, su_now[iin, jin] - dt * su_rhs, nb, xp)
         sv_new = _paste_interior(sv_now, sv_now[iin, jin] - dt * sv_rhs, nb, xp)
+        hb = self.horizontal_boundary
+        su_new = hb.restrict_stencil_output(su_new, base=su_now, nb=nb)
+        sv_new = hb.restrict_stencil_output(sv_new, base=sv_now, nb=nb)
         return su_new, sv_new
 
     def _step_momentum_fused(self, dt, state, tendencies, s_now_dict, s_new, mtg_new):
@@ -311,7 +324,7 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             su_tnd = su_tnd if su_tnd is not None else xp.zeros_like(s_new)
             sv_tnd = sv_tnd if sv_tnd is not None else xp.zeros_like(s_new)
 
-        return fused_momentum_step(
+        su_new, sv_new = fused_momentum_step(
             state["x_velocity_at_u_locations"],
             state["y_velocity_at_v_locations"],
             s_now_dict["x_momentum_isentropic"],
@@ -333,6 +346,14 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             has_tnd=has_tnd,
             interpret=self._backend == "pallas:interpret",
         )
+        hb = self.horizontal_boundary
+        su_new = hb.restrict_stencil_output(
+            su_new, base=s_now_dict["x_momentum_isentropic"], nb=nb
+        )
+        sv_new = hb.restrict_stencil_output(
+            sv_new, base=s_now_dict["y_momentum_isentropic"], nb=nb
+        )
+        return su_new, sv_new
 
     def _si_stage(self, dt: float, state, tendencies) -> Dict[str, Any]:
         """One semi-implicit stage from the captured "now" state."""

@@ -10,7 +10,6 @@ import numpy as np
 
 from tasmania_tpu.framework.core_components import TendencyComponent
 from tasmania_tpu.framework.field import FieldArray
-from tasmania_tpu.utils.array import get_namespace
 
 DIMS = ("x", "y", "z")
 
@@ -47,18 +46,18 @@ class IsentropicConservativeCoriolis(TendencyComponent):
     def array_call(self, state):
         su = state["x_momentum_isentropic"]
         sv = state["y_momentum_isentropic"]
-        xp = get_namespace(su)
         nb = self._nb
-        tnd_su = xp.zeros_like(su)
-        tnd_sv = xp.zeros_like(sv)
-        sl = (slice(nb, su.shape[0] - nb) if nb else slice(None),
-              slice(nb, su.shape[1] - nb) if nb else slice(None))
-        if xp is np:
-            tnd_su[sl] = self._f * sv[sl]
-            tnd_sv[sl] = -self._f * su[sl]
+        # pointwise everywhere, then zero the physical-domain frame: on a
+        # single device this equals the reference's interior-window write; in
+        # the distributed build it keeps shard halos valid with no exchange
+        # (HorizontalBoundary.zero_physical_frame)
+        if self._grid_type == "numerical":
+            hb = self.horizontal_boundary
+            tnd_su = hb.zero_physical_frame(self._f * sv, nb)
+            tnd_sv = hb.zero_physical_frame(-self._f * su, nb)
         else:
-            tnd_su = tnd_su.at[sl].set(self._f * sv[sl])
-            tnd_sv = tnd_sv.at[sl].set(-self._f * su[sl])
+            tnd_su = self._f * sv
+            tnd_sv = -self._f * su
         return {
             "x_momentum_isentropic": tnd_su,
             "y_momentum_isentropic": tnd_sv,

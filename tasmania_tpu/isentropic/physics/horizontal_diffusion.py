@@ -105,13 +105,24 @@ class IsentropicHorizontalDiffusion(TendencyComponent):
                 props[q] = {"dims": DIMS, "units": "g g^-1 s^-1"}
         return props
 
+    def _finish(self, name, tendency):
+        """Distributed hooks (identity single-device): zeros on the GLOBAL
+        nb-frame, halos refreshed from the neighbours."""
+        hb = self.horizontal_boundary
+        return hb.refresh_halos(
+            hb.restrict_stencil_output(tendency, nb=self._core.nb), name
+        )
+
     def array_call(self, state):
         tends = {
-            "air_isentropic_density": self._core(state["air_isentropic_density"]),
-            "x_momentum_isentropic": self._core(state["x_momentum_isentropic"]),
-            "y_momentum_isentropic": self._core(state["y_momentum_isentropic"]),
+            name: self._finish(name, self._core(state[name]))
+            for name in (
+                "air_isentropic_density",
+                "x_momentum_isentropic",
+                "y_momentum_isentropic",
+            )
         }
         if self._moist:
             for q in (mfwv, mfcw, mfpw):
-                tends[q] = self._core_moist(state[q])
+                tends[q] = self._finish(q, self._core_moist(state[q]))
         return tends, {}

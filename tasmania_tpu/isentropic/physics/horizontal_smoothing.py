@@ -84,17 +84,28 @@ class IsentropicHorizontalSmoothing(DiagnosticComponent):
     def diagnostic_properties(self):
         return dict(self.input_properties)
 
+    def _finish(self, name, phi_in, smoothed):
+        """Distributed hooks (identity single-device): keep the input on the
+        GLOBAL nb-frame — the single-device filter only writes the interior —
+        and refresh the stale halo ring from the neighbours."""
+        hb = self.horizontal_boundary
+        out = hb.restrict_stencil_output(smoothed, base=phi_in, nb=self._core.nb)
+        return hb.refresh_halos(out, name)
+
     def array_call(self, state):
         if self.backend.startswith("pallas") and self._core.axis is None:
             return self._array_call_fused(state)
         out = {
-            "air_isentropic_density": self._core(state["air_isentropic_density"]),
-            "x_momentum_isentropic": self._core(state["x_momentum_isentropic"]),
-            "y_momentum_isentropic": self._core(state["y_momentum_isentropic"]),
+            name: self._finish(name, state[name], self._core(state[name]))
+            for name in (
+                "air_isentropic_density",
+                "x_momentum_isentropic",
+                "y_momentum_isentropic",
+            )
         }
         if self._moist:
             for q in (mfwv, mfcw, mfpw):
-                out[q] = self._core_moist(state[q])
+                out[q] = self._finish(q, state[q], self._core_moist(state[q]))
         return out
 
     def _array_call_fused(self, state):
@@ -123,4 +134,4 @@ class IsentropicHorizontalSmoothing(DiagnosticComponent):
             nb=self._core.nb,
             interpret=self.backend == "pallas:interpret",
         )
-        return {n: smoothed[i] for i, n in enumerate(names)}
+        return {n: self._finish(n, state[n], smoothed[i]) for i, n in enumerate(names)}

@@ -69,16 +69,22 @@ class IsentropicSmagorinsky(Smagorinsky2d):
         xp = get_namespace(s)
         dx, dy = self._spacings()
         nb = self._nb
+        hb = self.horizontal_boundary
         u_tnd, v_tnd = smagorinsky_core(u, v, dx, dy, self._cs, nb)
         s_in = s[nb : s.shape[0] - nb, nb : s.shape[1] - nb]
+        # distributed: global-frame zeroing + halo refresh on the tendencies
+        # (identity single-device; see Smagorinsky2d.array_call)
+        out_su = hb.refresh_halos(
+            hb.restrict_stencil_output(
+                _frame_paste(s.shape, nb, s_in * u_tnd, xp, s.dtype), nb=nb
+            )
+        )
+        out_sv = hb.refresh_halos(
+            hb.restrict_stencil_output(
+                _frame_paste(s.shape, nb, s_in * v_tnd, xp, s.dtype), nb=nb
+            )
+        )
         return (
-            {
-                "x_momentum_isentropic": _frame_paste(
-                    s.shape, nb, s_in * u_tnd, xp, s.dtype
-                ),
-                "y_momentum_isentropic": _frame_paste(
-                    s.shape, nb, s_in * v_tnd, xp, s.dtype
-                ),
-            },
+            {"x_momentum_isentropic": out_su, "y_momentum_isentropic": out_sv},
             {},
         )

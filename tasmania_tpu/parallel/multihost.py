@@ -1,0 +1,109 @@
+"""Multi-host wiring: ``jax.distributed`` initialization + DCN-aware meshes.
+
+The reference is single-process (SURVEY.md §2.8: no MPI/NCCL anywhere); this
+module is the TPU-native multi-host layer BASELINE config 5 requires.  On a
+real multi-host slice every host runs the SAME driver; ``initialize_distributed``
+wires the JAX distributed runtime (coordinator + process ids from arguments or
+the standard environment variables), after which ``jax.devices()`` spans the
+whole slice and the runner's ``shard_map`` collectives ride ICI within a host
+group and DCN across hosts.
+
+Mesh layout rule (the "How to Scale Your Model" recipe): put the axis with the
+most-frequent communication on ICI.  For a 2-D halo-exchange decomposition the
+traffic is nearest-neighbour on both axes, so the hybrid mesh should tile
+hosts coarsely: each host owns a contiguous (x, y) super-block and only the
+super-block *edges* cross DCN — ``make_hybrid_mesh`` arranges exactly that by
+keeping each host's devices contiguous in the mesh.
+
+Hardware note: this container exposes ONE chip (no DCN to exercise); the code
+path is validated functionally on the virtual CPU mesh
+(tests/test_multihost.py) and by ``drivers/driver_weak_scaling.py``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> None:
+    """Initialize the JAX distributed runtime (idempotent).
+
+    Arguments default to the standard environment (``JAX_COORDINATOR_ADDRESS``
+    / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``, or the cluster-autodetected
+    values on Cloud TPU, where calling with no arguments is correct).
+    """
+    import jax
+
+    if getattr(jax.distributed, "is_initialized", None) and jax.distributed.is_initialized():
+        return
+    kwargs = {}
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    num_processes = num_processes if num_processes is not None else (
+        int(env_np) if env_np else None
+    )
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    process_id = process_id if process_id is not None else (
+        int(env_pid) if env_pid else None
+    )
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = list(local_device_ids)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_hybrid_mesh(
+    mesh_shape: Optional[Tuple[int, int]] = None,
+    axis_names: Tuple[str, str] = ("x", "y"),
+):
+    """A 2-D mesh whose per-host device blocks are contiguous, so halo
+    ppermutes between devices of the same host ride ICI and only host-block
+    edges cross DCN.
+
+    With one process this reduces to :func:`tasmania_tpu.parallel.make_mesh`.
+    With multiple processes it delegates to
+    ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` — the DCN axis
+    splits the slower (first) mesh axis, i.e. hosts are stacked along x.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    from tasmania_tpu.parallel.mesh import _factor_2d, make_mesh
+
+    nproc = jax.process_count()
+    devices = jax.devices()
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = _factor_2d(n)
+    px, py = mesh_shape
+    assert px * py == n, f"mesh shape {px}x{py} != {n} devices"
+
+    if nproc == 1:
+        return make_mesh(devices, shape=mesh_shape, axis_names=axis_names)
+
+    from jax.experimental import mesh_utils
+
+    assert px % nproc == 0, (
+        f"mesh x-extent {px} must be divisible by process count {nproc} "
+        "(hosts are stacked along the x axis)"
+    )
+    per_host = (px // nproc, py)
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        per_host, (nproc, 1), devices=devices, allow_split_physical_axes=True
+    )
+    return Mesh(np.asarray(dev_array), axis_names)

@@ -101,11 +101,20 @@ class Smagorinsky2d(TendencyComponent):
         u, v = state["x_velocity"], state["y_velocity"]
         xp = get_namespace(u)
         dx, dy = self._spacings()
-        u_tnd, v_tnd = smagorinsky_core(u, v, dx, dy, self._cs, self._nb)
-        return (
-            {
-                "x_velocity": _frame_paste(u.shape, self._nb, u_tnd, xp, u.dtype),
-                "y_velocity": _frame_paste(v.shape, self._nb, v_tnd, xp, v.dtype),
-            },
-            {},
+        nb = self._nb
+        hb = self.horizontal_boundary
+        u_tnd, v_tnd = smagorinsky_core(u, v, dx, dy, self._cs, nb)
+        # distributed: keep zeros on the GLOBAL frame and fill the stale halo
+        # ring from the neighbours (the downstream pointwise update then
+        # preserves halo validity); both hooks are identity single-device
+        out_u = hb.refresh_halos(
+            hb.restrict_stencil_output(
+                _frame_paste(u.shape, nb, u_tnd, xp, u.dtype), nb=nb
+            )
         )
+        out_v = hb.refresh_halos(
+            hb.restrict_stencil_output(
+                _frame_paste(v.shape, nb, v_tnd, xp, v.dtype), nb=nb
+            )
+        )
+        return ({"x_velocity": out_u, "y_velocity": out_v}, {})

@@ -1,0 +1,63 @@
+"""Multi-host scaffolding (tasmania_tpu/parallel/multihost.py).
+
+Hardware note: one chip / one process in this container, so the DCN path can't
+be exercised for real; these tests validate the wiring — a real
+``jax.distributed.initialize`` handshake (single-process cluster, in a
+subprocess) and the hybrid-mesh construction rules.
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+from tasmania_tpu.parallel.multihost import make_hybrid_mesh
+
+
+def test_hybrid_mesh_single_process_matches_make_mesh():
+    mesh = make_hybrid_mesh((4, 2))
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("x", "y")
+
+
+def test_initialize_distributed_single_process_cluster():
+    """End-to-end jax.distributed.initialize: a 1-process cluster performs the
+    coordinator handshake; idempotency of the wrapper is exercised too."""
+    repo = str(Path(__file__).resolve().parent.parent)
+    script = f"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import sys; sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from tasmania_tpu.parallel.multihost import initialize_distributed
+initialize_distributed("localhost:12355", num_processes=1, process_id=0)
+initialize_distributed()  # idempotent second call
+assert jax.process_count() == 1
+import jax.numpy as jnp
+assert float(jnp.sum(jnp.arange(4.0))) == 6.0
+print("OK")
+"""
+    env = dict(__import__("os").environ)
+    env.pop("XLA_FLAGS", None)
+    res = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, env=env,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "OK" in res.stdout
+
+
+def test_hybrid_mesh_multiprocess_layout_rule():
+    """The multi-process branch stacks host blocks along x: simulate the
+    shape arithmetic (the real create_hybrid_device_mesh call needs >1
+    process, unavailable here — the contiguity rule is what we lock)."""
+    # per_host x-extent * nproc == px is asserted inside make_hybrid_mesh;
+    # here: the single-process reduction keeps jax device order, which on a
+    # TPU slice preserves ICI adjacency (parallel/mesh.py::make_mesh)
+    mesh = make_hybrid_mesh((8, 1))
+    devs = list(mesh.devices.reshape(-1))
+    assert devs == jax.devices()[:8]
