@@ -297,7 +297,12 @@ def main(argv=None):
         jax.config.update("jax_platforms", cli.platform)
     import jax.numpy as jnp
 
-    import drivers.namelist_sus as nl
+    import importlib
+
+    # each coupling variant consumes ITS namelist module (reference ships six
+    # namelist_{fc,lfc,ps,sts,sus,ssus}.py; see the per-variant modules for
+    # the verified constant parity)
+    nl = importlib.import_module(f"drivers.namelist_{cli.coupling}")
     from tasmania_tpu.framework.field import FieldArray
 
     if cli.nx:

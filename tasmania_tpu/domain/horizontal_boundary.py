@@ -272,6 +272,11 @@ class HorizontalBoundary(StencilFactory, abc.ABC):
         Smagorinsky tendencies) call this on their outputs."""
         return field
 
+    def refresh_halos_many(self, fields, field_names=None):
+        """Bulk :meth:`refresh_halos`: single-device identity; distributed, one
+        packed exchange for the whole list (2 collectives per axis total)."""
+        return list(fields)
+
     def restrict_stencil_output(
         self, out, base=None, nb: Optional[int] = None, field_name=None
     ):

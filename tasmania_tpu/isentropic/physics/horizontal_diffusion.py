@@ -105,17 +105,9 @@ class IsentropicHorizontalDiffusion(TendencyComponent):
                 props[q] = {"dims": DIMS, "units": "g g^-1 s^-1"}
         return props
 
-    def _finish(self, name, tendency):
-        """Distributed hooks (identity single-device): zeros on the GLOBAL
-        nb-frame, halos refreshed from the neighbours."""
-        hb = self.horizontal_boundary
-        return hb.refresh_halos(
-            hb.restrict_stencil_output(tendency, nb=self._core.nb), name
-        )
-
     def array_call(self, state):
         tends = {
-            name: self._finish(name, self._core(state[name]))
+            name: self._core(state[name])
             for name in (
                 "air_isentropic_density",
                 "x_momentum_isentropic",
@@ -124,5 +116,12 @@ class IsentropicHorizontalDiffusion(TendencyComponent):
         }
         if self._moist:
             for q in (mfwv, mfcw, mfpw):
-                tends[q] = self._finish(q, self._core_moist(state[q]))
-        return tends, {}
+                tends[q] = self._core_moist(state[q])
+        # distributed hooks (identity single-device): zeros on the GLOBAL
+        # nb-frame, halo rings refreshed in ONE fused exchange
+        hb = self.horizontal_boundary
+        names = list(tends)
+        restricted = [
+            hb.restrict_stencil_output(tends[n], nb=self._core.nb) for n in names
+        ]
+        return dict(zip(names, hb.refresh_halos_many(restricted, names))), {}

@@ -84,19 +84,24 @@ class IsentropicHorizontalSmoothing(DiagnosticComponent):
     def diagnostic_properties(self):
         return dict(self.input_properties)
 
-    def _finish(self, name, phi_in, smoothed):
+    def _finish_all(self, state, out):
         """Distributed hooks (identity single-device): keep the input on the
         GLOBAL nb-frame — the single-device filter only writes the interior —
-        and refresh the stale halo ring from the neighbours."""
+        and refresh the stale halo rings from the neighbours in ONE fused
+        exchange."""
         hb = self.horizontal_boundary
-        out = hb.restrict_stencil_output(smoothed, base=phi_in, nb=self._core.nb)
-        return hb.refresh_halos(out, name)
+        names = list(out)
+        restricted = [
+            hb.restrict_stencil_output(out[n], base=state[n], nb=self._core.nb)
+            for n in names
+        ]
+        return dict(zip(names, hb.refresh_halos_many(restricted, names)))
 
     def array_call(self, state):
         if self.backend.startswith("pallas") and self._core.axis is None:
             return self._array_call_fused(state)
         out = {
-            name: self._finish(name, state[name], self._core(state[name]))
+            name: self._core(state[name])
             for name in (
                 "air_isentropic_density",
                 "x_momentum_isentropic",
@@ -105,8 +110,8 @@ class IsentropicHorizontalSmoothing(DiagnosticComponent):
         }
         if self._moist:
             for q in (mfwv, mfcw, mfpw):
-                out[q] = self._finish(q, state[q], self._core_moist(state[q]))
-        return out
+                out[q] = self._core_moist(state[q])
+        return self._finish_all(state, out)
 
     def _array_call_fused(self, state):
         """Single Pallas pass over all smoothed fields (ops/smoothing_step)."""
@@ -134,4 +139,4 @@ class IsentropicHorizontalSmoothing(DiagnosticComponent):
             nb=self._core.nb,
             interpret=self.backend == "pallas:interpret",
         )
-        return {n: self._finish(n, state[n], smoothed[i]) for i, n in enumerate(names)}
+        return self._finish_all(state, {n: smoothed[i] for i, n in enumerate(names)})

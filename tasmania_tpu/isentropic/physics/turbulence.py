@@ -72,17 +72,17 @@ class IsentropicSmagorinsky(Smagorinsky2d):
         hb = self.horizontal_boundary
         u_tnd, v_tnd = smagorinsky_core(u, v, dx, dy, self._cs, nb)
         s_in = s[nb : s.shape[0] - nb, nb : s.shape[1] - nb]
-        # distributed: global-frame zeroing + halo refresh on the tendencies
-        # (identity single-device; see Smagorinsky2d.array_call)
-        out_su = hb.refresh_halos(
-            hb.restrict_stencil_output(
-                _frame_paste(s.shape, nb, s_in * u_tnd, xp, s.dtype), nb=nb
-            )
-        )
-        out_sv = hb.refresh_halos(
-            hb.restrict_stencil_output(
-                _frame_paste(s.shape, nb, s_in * v_tnd, xp, s.dtype), nb=nb
-            )
+        # distributed: global-frame zeroing + ONE fused halo refresh on the
+        # tendencies (identity single-device; see Smagorinsky2d.array_call)
+        out_su, out_sv = hb.refresh_halos_many(
+            [
+                hb.restrict_stencil_output(
+                    _frame_paste(s.shape, nb, s_in * u_tnd, xp, s.dtype), nb=nb
+                ),
+                hb.restrict_stencil_output(
+                    _frame_paste(s.shape, nb, s_in * v_tnd, xp, s.dtype), nb=nb
+                ),
+            ]
         )
         return (
             {"x_momentum_isentropic": out_su, "y_momentum_isentropic": out_sv},

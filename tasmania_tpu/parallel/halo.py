@@ -17,6 +17,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -92,3 +93,75 @@ def halo_exchange(
     f = halo_exchange_axis(f, nb, 0, axis_names[0], periodic[0])
     f = halo_exchange_axis(f, nb, 1, axis_names[1], periodic[1])
     return f
+
+
+def _exchange_axis_multi(fs, nb: int, axis: int, axis_name: str, periodic: bool):
+    """One ppermute pair for the ``axis``-halos of ALL fields in ``fs``:
+    the per-field edge strips are flattened and packed into a single message
+    per direction, so N fields cost 2 collectives instead of 2·N — fewer
+    collective launches to hide behind compute.  Packing is copy-only:
+    bitwise identical to per-field exchange."""
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        return [halo_exchange_axis(f, nb, axis, axis_name, periodic) for f in fs]
+
+    hi_parts, lo_parts, shapes = [], [], []
+    for f in fs:
+        hi = _take(f, axis, slice(f.shape[axis] - 2 * nb, f.shape[axis] - nb))
+        lo = _take(f, axis, slice(nb, 2 * nb))
+        shapes.append(hi.shape)
+        hi_parts.append(hi.reshape(-1))
+        lo_parts.append(lo.reshape(-1))
+    send_hi = jnp.concatenate(hi_parts)
+    send_lo = jnp.concatenate(lo_parts)
+
+    if periodic:
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+    else:
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        bwd = [(i, i - 1) for i in range(1, n)]
+
+    from_left = lax.ppermute(send_hi, axis_name, fwd)
+    from_right = lax.ppermute(send_lo, axis_name, bwd)
+
+    idx = lax.axis_index(axis_name)
+    has_left = periodic or (idx > 0)
+    has_right = periodic or (idx < n - 1)
+
+    out, off = [], 0
+    for f, shape in zip(fs, shapes):
+        size = int(np.prod(shape))
+        fl = from_left[off : off + size].reshape(shape)
+        fr = from_right[off : off + size].reshape(shape)
+        off += size
+        lo_halo = _take(f, axis, slice(0, nb))
+        hi_halo = _take(f, axis, slice(f.shape[axis] - nb, f.shape[axis]))
+        f = _put(f, axis, slice(0, nb), jnp.where(has_left, fl, lo_halo))
+        f = _put(
+            f,
+            axis,
+            slice(f.shape[axis] - nb, f.shape[axis]),
+            jnp.where(has_right, fr, hi_halo),
+        )
+        out.append(f)
+    return out
+
+
+def halo_exchange_multi(
+    fields,
+    nb: int,
+    axis_names: Tuple[str, str] = ("x", "y"),
+    periodic: Tuple[bool, bool] = (True, True),
+):
+    """Fused halo exchange of a LIST of same-dtype fields (2 ppermutes per
+    axis total).  Semantically identical to mapping :func:`halo_exchange`."""
+    fields = list(fields)
+    if not fields:
+        return fields
+    assert all(f.dtype == fields[0].dtype for f in fields), (
+        "halo_exchange_multi packs one message: fields must share a dtype"
+    )
+    fields = _exchange_axis_multi(fields, nb, 0, axis_names[0], periodic[0])
+    fields = _exchange_axis_multi(fields, nb, 1, axis_names[1], periodic[1])
+    return fields

@@ -153,12 +153,18 @@ class DistributedModel:
         dt = self._dt
 
         def local_step(fields, consts, hs):
+            from tasmania_tpu.parallel.halo import halo_exchange_multi
+
             hb.bind_local_constants(consts)
 
+            # entry halo fill: ONE fused exchange for every field + topography
+            padded = [_pad_xy_edge(fields[name], nb) for name in names]
+            padded.append(_pad_xy_edge(hs, nb))
+            exchanged = halo_exchange_multi(padded, nb, axes, periodic)
+            hs_l = exchanged.pop()
+
             st: Dict[str, Any] = {}
-            for name in names:
-                f = _pad_xy_edge(fields[name], nb)
-                f = halo_exchange(f, nb, axes, periodic)
+            for name, f in zip(names, exchanged):
                 sx, sy, _ = field_stagger_axes(name)
                 # rebuild the local staggered view: the appended face is never
                 # read (fluxes consume faces [e, lx-e] only; the outermost
@@ -169,7 +175,6 @@ class DistributedModel:
                     f = jnp.concatenate([f, f[:, -1:]], axis=1)
                 st[name] = FieldArray(f, units[name], dims[name])
 
-            hs_l = halo_exchange(_pad_xy_edge(hs, nb), nb, axes, periodic)
             st["topography_height"] = FieldArray(hs_l, "m", ("x", "y"))
 
             st = dycore(st, {}, dt)

@@ -105,16 +105,17 @@ class Smagorinsky2d(TendencyComponent):
         hb = self.horizontal_boundary
         u_tnd, v_tnd = smagorinsky_core(u, v, dx, dy, self._cs, nb)
         # distributed: keep zeros on the GLOBAL frame and fill the stale halo
-        # ring from the neighbours (the downstream pointwise update then
-        # preserves halo validity); both hooks are identity single-device
-        out_u = hb.refresh_halos(
-            hb.restrict_stencil_output(
-                _frame_paste(u.shape, nb, u_tnd, xp, u.dtype), nb=nb
-            )
-        )
-        out_v = hb.refresh_halos(
-            hb.restrict_stencil_output(
-                _frame_paste(v.shape, nb, v_tnd, xp, v.dtype), nb=nb
-            )
+        # rings from the neighbours in one fused exchange (the downstream
+        # pointwise update then preserves halo validity); both hooks are
+        # identity single-device
+        out_u, out_v = hb.refresh_halos_many(
+            [
+                hb.restrict_stencil_output(
+                    _frame_paste(u.shape, nb, u_tnd, xp, u.dtype), nb=nb
+                ),
+                hb.restrict_stencil_output(
+                    _frame_paste(v.shape, nb, v_tnd, xp, v.dtype), nb=nb
+                ),
+            ]
         )
         return ({"x_velocity": out_u, "y_velocity": out_v}, {})
