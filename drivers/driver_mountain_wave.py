@@ -104,14 +104,27 @@ def run_case(nx: int, nz: int, hours: float, dt_s: float):
 
     # compare perturbations on the interior, away from the sponge
     kd = max(8, nz // 5)
-    du_n = (u_num[6:-6, kd + 4 :] - 10.0).ravel()
-    du_a = (u_an[6:-6, kd + 4 :] - 10.0).ravel()
-    corr = float(
-        np.corrcoef(du_n, du_a)[0, 1]
-    )
-    amp = float(np.abs(du_n).max() / np.abs(du_a).max())
+    du_n2 = u_num[6:-6, kd + 4 :] - 10.0
+    du_a2 = u_an[6:-6, kd + 4 :] - 10.0
+    corr = float(np.corrcoef(du_n2.ravel(), du_a2.ravel())[0, 1])
+    amp = float(np.abs(du_n2).max() / np.abs(du_a2).max())
+
+    # focused metrics over |x| <= 6a: the analytic wave decays like 1/x, so
+    # beyond a few half-widths the signal sits below the noise floor left by
+    # the impulsive start (transients advect out at U, reflect weakly off the
+    # relaxed inflow/outflow) — the far field contributes only noise to the
+    # domain-wide correlation.  Diagnosed per-region (round 2): corr ~0.96
+    # over the mountain, ~0.08 for x > 50 km where rms_analytic is ~2e-3 m/s.
+    xs = np.asarray(domain.physical_grid.x_at_u_locations.data)
+    m = np.abs(xs) <= 6.0 * a_w
+    du_nf = u_num[m, kd + 4 :] - 10.0
+    du_af = u_an[m, kd + 4 :] - 10.0
+    corr_f = float(np.corrcoef(du_nf.ravel(), du_af.ravel())[0, 1])
+    # rms error over the focused window: the convergence-order quantity
+    err = float(np.sqrt(np.mean((du_nf - du_af) ** 2)))
     return {"nx": nx, "nz": nz, "hours": hours, "dt": dt_s,
-            "corr": round(corr, 4), "amplitude_ratio": round(amp, 4)}
+            "corr": round(corr, 4), "corr_focused": round(corr_f, 4),
+            "rms_err_focused": err, "amplitude_ratio": round(amp, 4)}
 
 
 def main(argv=None):
@@ -139,6 +152,15 @@ def main(argv=None):
         results = [run_case(cli.nx, cli.nz, cli.hours, cli.dt)]
     for r in results:
         print(json.dumps(r), flush=True)
+    if cli.sweep:
+        # observed convergence order from the focused rms error (dx halves
+        # between consecutive cases)
+        for a, b in zip(results, results[1:]):
+            p = np.log2(a["rms_err_focused"] / b["rms_err_focused"])
+            print(json.dumps({
+                "convergence_order": round(float(p), 3),
+                "from_nx": a["nx"], "to_nx": b["nx"],
+            }), flush=True)
     return results
 
 

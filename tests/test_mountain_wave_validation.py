@@ -85,3 +85,14 @@ def test_linear_mountain_wave_matches_analytic_solution():
     amp = np.abs(du_num[sl]).max() / np.abs(du_an[sl]).max()
     assert corr > 0.6, f"wave-pattern correlation too low: {corr}"
     assert 0.5 < amp < 1.2, f"wave amplitude ratio off: {amp}"
+
+    # focused window |x| <= 6a: where the analytic signal stands above the
+    # start-up transient noise floor (the 1/x far-field tail dilutes the
+    # domain-wide correlation; see drivers/driver_mountain_wave.py) the
+    # pattern match is strong even at this coarse resolution
+    xs = np.asarray(domain.physical_grid.x_at_u_locations.data)
+    m = np.abs(xs) <= 6.0 * a_w
+    corr_f = np.corrcoef(
+        du_num[m, 15:].ravel(), du_an[m, 15:].ravel()
+    )[0, 1]
+    assert corr_f > 0.85, f"focused wave-pattern correlation too low: {corr_f}"
