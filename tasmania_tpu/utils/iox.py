@@ -1,12 +1,18 @@
 """State I/O: store/load model states with grid metadata.
 
 TPU-native re-design of reference ``src/tasmania/utils/iox.py:47,299``
-(``NetCDFMonitor`` / ``load_netcdf_dataset``).  netCDF4 is not available in
-this environment, so the container format is HDF5 (h5py) with the same
-information content: per-snapshot field groups carrying units + dims
-attributes, plus domain/topography/boundary attributes sufficient to rebuild
-the ``Domain`` on load.  A NetCDF path can be added behind the same API when
-the library is present.
+(``NetCDFMonitor`` / ``load_netcdf_dataset``).  Two containers behind the
+same API:
+
+* :class:`NetCDFMonitor` / :func:`load_netcdf_dataset` — true NetCDF (classic
+  64-bit-offset format via ``scipy.io.netcdf_file``; netCDF4 is not available
+  in this environment, and the reference's files are plain-layout enough that
+  NetCDF3 holds the same information): every stored field is a variable over
+  an unlimited ``time`` dimension + its spatial dims, units as variable
+  attributes, domain/topography/boundary reconstruction data as global
+  attributes.  Readable by any NetCDF tool.
+* :class:`HDF5Monitor` / :func:`load_hdf5_dataset` — HDF5 with per-snapshot
+  groups (used by the golden-trajectory apparatus).
 """
 
 from __future__ import annotations
@@ -21,9 +27,78 @@ from tasmania_tpu.framework.field import FieldArray
 from tasmania_tpu.utils.array import to_numpy
 
 
-class HDF5Monitor:
-    """Accumulate states and write them (reference ``NetCDFMonitor``,
-    ``iox.py:47``)."""
+def _domain_attrs(domain) -> Dict[str, Any]:
+    """Global attributes sufficient to rebuild ``domain`` on load
+    (reference ``iox.py`` write override / ``load_domain`` ``:327-421``)."""
+    pg = domain.physical_grid
+    topo = pg.topography
+    return {
+        "nx": pg.nx,
+        "ny": pg.ny,
+        "nz": pg.nz,
+        "domain_x": [float(np.asarray(pg.x.data)[0]), float(np.asarray(pg.x.data)[-1])],
+        "x_units": pg.x.units,
+        "domain_y": [float(np.asarray(pg.y.data)[0]), float(np.asarray(pg.y.data)[-1])],
+        "y_units": pg.y.units,
+        "domain_z": [
+            float(np.asarray(pg.z_on_interface_levels.data)[0]),
+            float(np.asarray(pg.z_on_interface_levels.data)[-1]),
+        ],
+        "z_units": pg.z.units,
+        "topo_type": getattr(topo, "type", "flat") or "flat",
+        "topo_time_s": topo.time.total_seconds(),
+        "hb_type": domain.horizontal_boundary.type,
+        "nb": domain.horizontal_boundary.nb,
+        "hb_kwargs": json.dumps(
+            {
+                k: v
+                for k, v in domain.horizontal_boundary.kwargs.items()
+                if isinstance(v, (int, float, str, bool))
+            }
+        ),
+        "topo_kwargs": json.dumps(
+            {
+                k: (
+                    float(np.asarray(v.data))
+                    if isinstance(v, FieldArray)
+                    else v
+                )
+                for k, v in getattr(topo, "kwargs", {}).items()
+                if isinstance(v, (int, float, str, bool, FieldArray))
+            }
+        ),
+    }
+
+
+def _domain_from_attrs(attrs: Mapping[str, Any]):
+    """Rebuild a ``Domain`` from :func:`_domain_attrs` output
+    (reference ``load_domain``, ``iox.py:327``)."""
+    from tasmania_tpu.domain import Domain
+
+    topo_kwargs = json.loads(attrs.get("topo_kwargs", "{}"))
+    if float(attrs["topo_time_s"]) > 0:
+        topo_kwargs["time"] = timedelta(seconds=float(attrs["topo_time_s"]))
+    for key in ("max_height", "width_x", "width_y", "center_x", "center_y"):
+        if key in topo_kwargs:
+            topo_kwargs[key] = FieldArray(np.asarray(topo_kwargs[key]), "m", ())
+    return Domain(
+        FieldArray(np.asarray(attrs["domain_x"]), attrs["x_units"], ("x",)),
+        int(attrs["nx"]),
+        FieldArray(np.asarray(attrs["domain_y"]), attrs["y_units"], ("y",)),
+        int(attrs["ny"]),
+        FieldArray(np.asarray(attrs["domain_z"]), attrs["z_units"], ("z",)),
+        int(attrs["nz"]),
+        horizontal_boundary_type=attrs["hb_type"],
+        nb=int(attrs["nb"]),
+        horizontal_boundary_kwargs=json.loads(attrs.get("hb_kwargs", "{}")),
+        topography_type=str(attrs["topo_type"]),
+        topography_kwargs=topo_kwargs,
+    )
+
+
+class StateMonitor:
+    """Accumulate states for writing (reference ``NetCDFMonitor.store``,
+    ``iox.py:101``)."""
 
     def __init__(
         self,
@@ -53,50 +128,126 @@ class HDF5Monitor:
         self._states.append(snap)
 
     def write(self) -> None:
+        raise NotImplementedError
+
+
+class NetCDFMonitor(StateMonitor):
+    """Write stored states to a true NetCDF file (classic 64-bit-offset
+    format via scipy; reference ``NetCDFMonitor``, ``iox.py:47``).
+
+    Layout: one unlimited ``time`` dimension (seconds since the first stored
+    snapshot, ISO epoch in its ``units`` attribute); each field is a variable
+    ``(time, *spatial_dims)`` with a ``units`` attribute; spatial dimension
+    names are the field's declared dims (``x``, ``x_at_u_locations``, …);
+    domain/topography/boundary metadata as global attributes."""
+
+    def write(self) -> None:
+        from scipy.io import netcdf_file
+
+        if not self._states:
+            raise ValueError("no states stored")
+        first = self._states[0]
+        names = sorted(k for k in first if k != "time")
+        for snap in self._states:
+            if sorted(k for k in snap if k != "time") != names:
+                raise ValueError("all stored states must hold the same fields")
+
+        with netcdf_file(self._filename, "w", version=2) as f:
+            if self._domain is not None:
+                for k, v in _domain_attrs(self._domain).items():
+                    setattr(f, k, v)
+            f.grid_type = self._grid_type
+
+            f.createDimension("time", None)
+            times = [s.get("time") for s in self._states]
+            has_time = times[0] is not None
+            tvar = f.createVariable("time", "f8", ("time",))
+            if has_time:
+                epoch = times[0]
+                tvar.units = f"seconds since {epoch.isoformat()}"
+                tvar[:] = np.asarray(
+                    [(t - epoch).total_seconds() for t in times], dtype="f8"
+                )
+            else:
+                tvar.units = "snapshot index"
+                tvar[:] = np.arange(len(self._states), dtype="f8")
+
+            # spatial dimensions: named by the field dims, sized per field
+            dim_sizes: Dict[str, int] = {}
+            for name in names:
+                arr, _, dims = first[name]
+                for ax, d in enumerate(dims):
+                    d = d or f"{name}_dim{ax}"
+                    if d in dim_sizes:
+                        if dim_sizes[d] != arr.shape[ax]:
+                            raise ValueError(
+                                f"dimension {d} has conflicting sizes"
+                            )
+                    else:
+                        dim_sizes[d] = arr.shape[ax]
+                        f.createDimension(d, arr.shape[ax])
+
+            for name in names:
+                arr, units, dims = first[name]
+                dims = tuple(
+                    d or f"{name}_dim{ax}" for ax, d in enumerate(dims)
+                )
+                var = f.createVariable(
+                    name, arr.dtype.newbyteorder("="), ("time",) + dims
+                )
+                var.units = units
+                var[:] = np.stack(
+                    [snap[name][0] for snap in self._states], axis=0
+                )
+
+
+def load_netcdf_dataset(filename: str):
+    """(Domain, grid_type, [states]) from a :class:`NetCDFMonitor` file
+    (reference ``load_netcdf_dataset``, ``iox.py:299``)."""
+    from scipy.io import netcdf_file
+
+    def _dec(x):
+        return x.decode() if isinstance(x, bytes) else x
+
+    with netcdf_file(filename, "r", mmap=False) as f:
+        attrs = {k: _dec(v) for k, v in f._attributes.items()}
+        domain = _domain_from_attrs(attrs) if "nx" in attrs else None
+        grid_type = attrs.get("grid_type", "numerical")
+
+        tvar = f.variables["time"]
+        tunits = _dec(tvar.units)
+        offsets = np.asarray(tvar[:], dtype="f8")
+        epoch = None
+        if tunits.startswith("seconds since "):
+            epoch = datetime.fromisoformat(tunits[len("seconds since "):])
+
+        states: List[Dict[str, Any]] = []
+        for it in range(len(offsets)):
+            state: Dict[str, Any] = {}
+            if epoch is not None:
+                state["time"] = epoch + timedelta(seconds=float(offsets[it]))
+            for name, var in f.variables.items():
+                if name == "time":
+                    continue
+                state[name] = FieldArray(
+                    np.array(var[it]),
+                    _dec(var.units),
+                    tuple(var.dimensions[1:]),
+                )
+            states.append(state)
+    return domain, grid_type, states
+
+
+class HDF5Monitor(StateMonitor):
+    """Write stored states to HDF5 (same information content as
+    :class:`NetCDFMonitor`; per-snapshot groups)."""
+
+    def write(self) -> None:
         import h5py
 
         with h5py.File(self._filename, "w") as f:
             if self._domain is not None:
-                d = self._domain
-                pg = d.physical_grid
-                topo = pg.topography
-                attrs = {
-                    "nx": pg.nx,
-                    "ny": pg.ny,
-                    "nz": pg.nz,
-                    "domain_x": [float(np.asarray(pg.x.data)[0]), float(np.asarray(pg.x.data)[-1])],
-                    "x_units": pg.x.units,
-                    "domain_y": [float(np.asarray(pg.y.data)[0]), float(np.asarray(pg.y.data)[-1])],
-                    "y_units": pg.y.units,
-                    "domain_z": [
-                        float(np.asarray(pg.z_on_interface_levels.data)[0]),
-                        float(np.asarray(pg.z_on_interface_levels.data)[-1]),
-                    ],
-                    "z_units": pg.z.units,
-                    "topo_type": getattr(topo, "type", "flat") or "flat",
-                    "topo_time_s": topo.time.total_seconds(),
-                    "hb_type": d.horizontal_boundary.type,
-                    "nb": d.horizontal_boundary.nb,
-                    "hb_kwargs": json.dumps(
-                        {
-                            k: v
-                            for k, v in d.horizontal_boundary.kwargs.items()
-                            if isinstance(v, (int, float, str, bool))
-                        }
-                    ),
-                    "topo_kwargs": json.dumps(
-                        {
-                            k: (
-                                float(np.asarray(v.data))
-                                if isinstance(v, FieldArray)
-                                else v
-                            )
-                            for k, v in getattr(topo, "kwargs", {}).items()
-                            if isinstance(v, (int, float, str, bool, FieldArray))
-                        }
-                    ),
-                }
-                for k, v in attrs.items():
+                for k, v in _domain_attrs(self._domain).items():
                     f.attrs[k] = v
             for idx, snap in enumerate(self._states):
                 grp = f.create_group(f"state_{idx:05d}")
@@ -116,33 +267,10 @@ def load_hdf5_dataset(filename: str):
     (reference ``load_netcdf_dataset``, ``iox.py:299``)."""
     import h5py
 
-    from tasmania_tpu.domain import Domain
-
     with h5py.File(filename, "r") as f:
-        domain = None
-        if "nx" in f.attrs:
-            topo_kwargs = json.loads(f.attrs.get("topo_kwargs", "{}"))
-            if f.attrs["topo_time_s"] > 0:
-                topo_kwargs["time"] = timedelta(seconds=float(f.attrs["topo_time_s"]))
-            for key in ("max_height", "width_x", "width_y", "center_x", "center_y"):
-                if key in topo_kwargs:
-                    units = "m"
-                    topo_kwargs[key] = FieldArray(
-                        np.asarray(topo_kwargs[key]), units, ()
-                    )
-            domain = Domain(
-                FieldArray(np.asarray(f.attrs["domain_x"]), f.attrs["x_units"], ("x",)),
-                int(f.attrs["nx"]),
-                FieldArray(np.asarray(f.attrs["domain_y"]), f.attrs["y_units"], ("y",)),
-                int(f.attrs["ny"]),
-                FieldArray(np.asarray(f.attrs["domain_z"]), f.attrs["z_units"], ("z",)),
-                int(f.attrs["nz"]),
-                horizontal_boundary_type=f.attrs["hb_type"],
-                nb=int(f.attrs["nb"]),
-                horizontal_boundary_kwargs=json.loads(f.attrs.get("hb_kwargs", "{}")),
-                topography_type=str(f.attrs["topo_type"]),
-                topography_kwargs=topo_kwargs,
-            )
+        domain = (
+            _domain_from_attrs(dict(f.attrs)) if "nx" in f.attrs else None
+        )
         states = []
         for key in sorted(k for k in f.keys() if k.startswith("state_")):
             grp = f[key]

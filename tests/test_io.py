@@ -79,3 +79,44 @@ def test_offline_diagnostics():
     assert rrmsd["air_isentropic_density"] > 0
     cs = ColumnSum(domain.numerical_grid, "air_isentropic_density", "kg m^-2 K^-1")(state)
     assert cs.shape == (12, 10)
+
+
+def test_netcdf_store_write_load_roundtrip():
+    """True NetCDF interop (reference ``NetCDFMonitor``/``load_netcdf_dataset``,
+    ``utils/iox.py:47,299``): classic CDF container via scipy."""
+    from tasmania_tpu.utils.iox import NetCDFMonitor, load_netcdf_dataset
+
+    domain, state = make_setup()
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "ck.nc")
+        mon = NetCDFMonitor(path, domain)
+        mon.store(state)
+        state2 = dict(state)
+        state2["time"] = state["time"] + __import__("datetime").timedelta(seconds=5)
+        state2["air_isentropic_density"] = state["air_isentropic_density"].with_data(
+            state["air_isentropic_density"].data * 1.01
+        )
+        mon.store(state2)
+        mon.write()
+
+        # the on-disk format really is NetCDF (classic 64-bit offset)
+        with open(path, "rb") as fh:
+            assert fh.read(3) == b"CDF"
+
+        domain2, grid_type, states = load_netcdf_dataset(path)
+        assert len(states) == 2
+        assert domain2.physical_grid.nx == 12
+        assert domain2.horizontal_boundary.type == "relaxed"
+        assert states[0]["time"] == datetime(2000, 1, 1)
+        assert states[1]["time"] == datetime(2000, 1, 1, 0, 0, 5)
+        np.testing.assert_allclose(
+            np.asarray(states[1]["air_isentropic_density"].data),
+            np.asarray(state["air_isentropic_density"].data) * 1.01,
+            rtol=1e-6,
+        )
+        assert states[0]["air_isentropic_density"].units == "kg m^-2 K^-1"
+        assert states[0]["x_velocity_at_u_locations"].dims == (
+            "x_at_u_locations", "y", "z",
+        )
+        h = np.asarray(domain2.physical_grid.topography.steady_profile.data)
+        assert h.max() > 100.0
