@@ -254,21 +254,11 @@ class IsentropicDynamicalCore(DynamicalCore):
                 "sv": raw_state["y_momentum_isentropic"],
             }
 
-        # water mass fractions -> densities (reference ``:766-774``)
-        s = raw_state["air_isentropic_density"]
-        stage_state = dict(raw_state)
-        stage_state["isentropic_density_of_water_vapor"] = (
-            wc.get_density_of_water_constituent(s, raw_state[mfwv])
-        )
-        stage_state["isentropic_density_of_cloud_liquid_water"] = (
-            wc.get_density_of_water_constituent(s, raw_state[mfcw])
-        )
-        stage_state["isentropic_density_of_precipitation_water"] = (
-            wc.get_density_of_water_constituent(s, raw_state[mfpw])
-        )
-
+        # water mass fractions -> densities (reference ``:766-774``) happens
+        # INSIDE the prognostic step (fused into the advection kernel /
+        # XLA-fused expression): the input sq fields never materialize
         out = self._prognostic.stage_call(
-            stage, timestep, stage_state, raw_tendencies
+            stage, timestep, raw_state, raw_tendencies
         )
 
         s_new = out["air_isentropic_density"]

@@ -137,7 +137,77 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
     def _use_fused_kernel(self) -> bool:
         return self._backend.startswith("pallas") and self._hflux.order in (3, 5)
 
-    def _fused(self, dt, u_int, v_int, names_now, names_int, tnds):
+    # -- comm/compute overlap (distributed path) -------------------------------- #
+    def _use_bands(self, shape) -> bool:
+        """Interior/edge band split for explicit comm/compute overlap
+        (SURVEY.md §2.8): active under a DistributedBoundary whose halo
+        exchange assembles by concatenation — the interior band's inputs are
+        pure slices of the pre-exchange core, so XLA schedules the interior
+        stencil concurrently with the ppermutes; the four edge bands alone
+        wait for the halos."""
+        nb = self.horizontal_boundary.nb
+        return (
+            getattr(self.horizontal_boundary, "overlap_bands", False)
+            and not self._backend.startswith("pallas")
+            and self._backend != "numpy"
+            and shape[0] > 4 * nb
+            and shape[1] > 4 * nb
+        )
+
+    def _banded_regions(self, Lx: int, Ly: int, nb: int):
+        """((r0, r1, c0, c1) windows: x-low, x-high, y-low, y-high bands +
+        interior — disjoint, covering the nb-inset computational domain."""
+        return (
+            (nb, 2 * nb, nb, Ly - nb),
+            (Lx - 2 * nb, Lx - nb, nb, Ly - nb),
+            (2 * nb, Lx - 2 * nb, nb, 2 * nb),
+            (2 * nb, Lx - 2 * nb, Ly - 2 * nb, Ly - nb),
+            (2 * nb, Lx - 2 * nb, 2 * nb, Ly - 2 * nb),
+        )
+
+    def _assemble_banded(self, xp, phi_now, pieces, nb):
+        """phi_now with the five band updates pasted in, assembled by
+        concatenation (pure dataflow — no scatter)."""
+        Lx, Ly = phi_now.shape[0], phi_now.shape[1]
+        xlo, xhi, ylo, yhi, mid = pieces
+        middle = xp.concatenate(
+            [
+                phi_now[2 * nb : Lx - 2 * nb, :nb],
+                ylo,
+                mid,
+                yhi,
+                phi_now[2 * nb : Lx - 2 * nb, Ly - nb :],
+            ],
+            axis=1,
+        )
+        row_lo = xp.concatenate(
+            [phi_now[nb : 2 * nb, :nb], xlo, phi_now[nb : 2 * nb, Ly - nb :]],
+            axis=1,
+        )
+        row_hi = xp.concatenate(
+            [
+                phi_now[Lx - 2 * nb : Lx - nb, :nb],
+                xhi,
+                phi_now[Lx - 2 * nb : Lx - nb, Ly - nb :],
+            ],
+            axis=1,
+        )
+        return xp.concatenate(
+            [phi_now[:nb], row_lo, middle, row_hi, phi_now[Lx - nb :]], axis=0
+        )
+
+    def _div_window(self, phi_int, u_int, v_int, r0, r1, c0, c1, dx, dy):
+        """Flux divergence of cells [r0:r1, c0:c1) from the e-haloed input
+        windows (bitwise the same arithmetic as the full-array path)."""
+        e = self._hflux.extent
+        ph = phi_int[r0 - e : r1 + e, c0 - e : c1 + e]
+        uu = u_int[r0 - e : r1 + e + 1, c0 - e : c1 + e]
+        vv = v_int[r0 - e : r1 + e, c0 - e : c1 + e + 1]
+        return self._flux_div(
+            self._hflux.flux_x(uu, ph), self._hflux.flux_y(vv, ph), e, dx, dy
+        )
+
+    def _fused(self, dt, u_int, v_int, names_now, names_int, tnds, q_product=None):
         """Dispatch the per-field Pallas advection kernel (ops/advection_step)."""
         from tasmania_tpu.ops.advection_step import fused_advection_fields
 
@@ -156,32 +226,47 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
                 dx=dx,
                 dy=dy,
                 interpret=self._backend == "pallas:interpret",
+                q_product=q_product,
             )
         )
 
     def _step_density_and_water(self, dt, state, tendencies, s_now_dict):
         """First stencil: step s (+ sqv, sqc, sqr)
-        (reference ``utils.py:44`` ``step_forward_euler``)."""
+        (reference ``utils.py:44`` ``step_forward_euler``).
+
+        Moist inputs arrive as MASS FRACTIONS (the dycore no longer
+        materializes the input densities, reference ``dycore.py:766-774``):
+        ``sq = clip(s·q)`` is formed here — in VMEM inside the Pallas kernel,
+        or as an XLA-fused expression on the jnp/numpy backends.  Outputs are
+        the stepped densities, as before."""
         nb = self.horizontal_boundary.nb
         dx, dy = self._grid_spacings()
         xp = get_namespace(state["air_isentropic_density"])
 
         s_int = state["air_isentropic_density"]
+        s_now = s_now_dict["air_isentropic_density"]
         u_int = state["x_velocity_at_u_locations"]
         v_int = state["y_velocity_at_v_locations"]
         iin = slice(nb, s_int.shape[0] - nb)
         jin = slice(nb, s_int.shape[1] - nb)
 
+        def clip_pos(x):
+            return xp.where(x > 0.0, x, xp.zeros_like(x))
+
         out: Dict[str, Any] = {}
+
+        sq_of = (
+            ("isentropic_density_of_water_vapor", mfwv),
+            ("isentropic_density_of_cloud_liquid_water", mfcw),
+            ("isentropic_density_of_precipitation_water", mfpw),
+        )
 
         if self._use_fused_kernel():
             names = ["air_isentropic_density"]
+            q_names = ["air_isentropic_density"]
             if self._moist:
-                names += [
-                    "isentropic_density_of_water_vapor",
-                    "isentropic_density_of_cloud_liquid_water",
-                    "isentropic_density_of_precipitation_water",
-                ]
+                names += [sq for sq, _ in sq_of]
+                q_names += [q for _, q in sq_of]
             tnd_names = {
                 "air_isentropic_density": ("air_isentropic_density", False),
                 "isentropic_density_of_water_vapor": (mfwv, True),
@@ -201,19 +286,53 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
                 dt,
                 state["x_velocity_at_u_locations"],
                 state["y_velocity_at_v_locations"],
-                [s_now_dict[n] for n in names],
-                [state[n] for n in names],
+                [s_now_dict[q] for q in q_names],
+                [state[q] for q in q_names],
                 tnds,
+                q_product=tuple(q != sq for sq, q in zip(names, q_names)),
             )
             hb = self.horizontal_boundary
             return {
-                n: hb.restrict_stencil_output(phi, base=s_now_dict[n], nb=nb)
-                for n, phi in zip(names, stepped)
+                n: hb.restrict_stencil_output(
+                    phi,
+                    base=(
+                        s_now_dict[q]
+                        if n == q
+                        else clip_pos(s_now * s_now_dict[q])
+                    ),
+                    nb=nb,
+                )
+                for n, q, phi in zip(names, q_names, stepped)
             }
 
         hb = self.horizontal_boundary
 
+        use_bands = self._use_bands(s_int.shape)
+
         def step_one(name, phi_now, phi_int, tnd, scale_by_s):
+            if use_bands:
+                # interior/edge band split: the interior band's input windows
+                # slice the pre-exchange core (see _use_bands), so it computes
+                # concurrently with the halo ppermutes
+                def upd(r0, r1, c0, c1):
+                    rhs = self._div_window(
+                        phi_int, u_int, v_int, r0, r1, c0, c1, dx, dy
+                    )
+                    if tnd is not None:
+                        t = tnd[r0:r1, c0:c1]
+                        rhs = rhs - (
+                            s_int[r0:r1, c0:c1] * t if scale_by_s else t
+                        )
+                    return phi_now[r0:r1, c0:c1] - dt * rhs
+
+                pieces = [
+                    upd(*w)
+                    for w in self._banded_regions(
+                        phi_now.shape[0], phi_now.shape[1], nb
+                    )
+                ]
+                out = self._assemble_banded(xp, phi_now, pieces, nb)
+                return hb.restrict_stencil_output(out, base=phi_now, nb=nb)
             fx = self._hflux.flux_x(u_int, phi_int)
             fy = self._hflux.flux_y(v_int, phi_int)
             div = self._flux_div(fx, fy, nb, dx, dy)
@@ -230,22 +349,18 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
 
         out["air_isentropic_density"] = step_one(
             "s",
-            s_now_dict["air_isentropic_density"],
+            s_now,
             s_int,
             tendencies.get("air_isentropic_density"),
             False,
         )
         if self._moist:
-            for sq_name, q_tnd_name in (
-                ("isentropic_density_of_water_vapor", mfwv),
-                ("isentropic_density_of_cloud_liquid_water", mfcw),
-                ("isentropic_density_of_precipitation_water", mfpw),
-            ):
+            for sq_name, q_name in sq_of:
                 out[sq_name] = step_one(
                     sq_name,
-                    s_now_dict[sq_name],
-                    state[sq_name],
-                    tendencies.get(q_tnd_name),
+                    clip_pos(s_now * s_now_dict[q_name]),
+                    clip_pos(s_int * state[q_name]),
+                    tendencies.get(q_name),
                     True,
                 )
         return out
@@ -309,6 +424,88 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         sv_new = hb.restrict_stencil_output(sv_new, base=sv_now, nb=nb)
         return su_new, sv_new
 
+    def _step_momentum_banded(self, dt, state, tendencies, s_now_dict, s_new, hs):
+        """Momentum step in interior/edge bands for comm/compute overlap.
+
+        The Montgomery potential is recomputed per band window from the
+        window's density columns — column-local, so bitwise identical to the
+        full-array scan — which keeps the interior band's inputs pure slices
+        of the pre-exchange core: it schedules concurrently with the density
+        halo exchange, while only the four edge bands (and their one-column
+        Montgomery halos) wait for the collectives."""
+        nb = self.horizontal_boundary.nb
+        dx, dy = self._grid_spacings()
+        eps = self._eps
+        xp = get_namespace(s_new)
+
+        s_now = s_now_dict["air_isentropic_density"]
+        mtg_now = s_now_dict["montgomery_potential"]
+        su_now = s_now_dict["x_momentum_isentropic"]
+        sv_now = s_now_dict["y_momentum_isentropic"]
+        u_int = state["x_velocity_at_u_locations"]
+        v_int = state["y_velocity_at_v_locations"]
+        su_int = state["x_momentum_isentropic"]
+        sv_int = state["y_momentum_isentropic"]
+        su_tnd = tendencies.get("x_momentum_isentropic")
+        sv_tnd = tendencies.get("y_momentum_isentropic")
+        if hs is None:
+            # static topography: window the grid's host-side profile
+            hs = self._diagnostics._hs(xp, s_new.dtype, None)[:, :, 0]
+
+        def upd(r0, r1, c0, c1):
+            # montgomery on the (r±1, c±1)-haloed window of the stepped density
+            s_w = s_new[r0 - 1 : r1 + 1, c0 - 1 : c1 + 1]
+            hs_w = hs[r0 - 1 : r1 + 1, c0 - 1 : c1 + 1]
+            mtg_w = self._diagnostics.get_montgomery_potential(
+                s_w, self._pt, hs=hs_w
+            )
+            m = r1 - r0
+            n = c1 - c0
+            cc = (slice(1, 1 + m), slice(1, 1 + n))
+            cp1 = (slice(2, 2 + m), slice(1, 1 + n))
+            cm1 = (slice(0, m), slice(1, 1 + n))
+            rp1 = (slice(1, 1 + m), slice(2, 2 + n))
+            rm1 = (slice(1, 1 + m), slice(0, n))
+            w = (slice(r0, r1), slice(c0, c1))
+            wp1x = (slice(r0 + 1, r1 + 1), slice(c0, c1))
+            wm1x = (slice(r0 - 1, r1 - 1), slice(c0, c1))
+            wp1y = (slice(r0, r1), slice(c0 + 1, c1 + 1))
+            wm1y = (slice(r0, r1), slice(c0 - 1, c1 - 1))
+
+            pgx = (1.0 - eps) * s_now[w] * (
+                mtg_now[wp1x] - mtg_now[wm1x]
+            ) / (2.0 * dx) + eps * s_w[cc] * (
+                mtg_w[cp1] - mtg_w[cm1]
+            ) / (2.0 * dx)
+            pgy = (1.0 - eps) * s_now[w] * (
+                mtg_now[wp1y] - mtg_now[wm1y]
+            ) / (2.0 * dy) + eps * s_w[cc] * (
+                mtg_w[rp1] - mtg_w[rm1]
+            ) / (2.0 * dy)
+
+            su_rhs = (
+                self._div_window(su_int, u_int, v_int, r0, r1, c0, c1, dx, dy)
+                + pgx
+            )
+            sv_rhs = (
+                self._div_window(sv_int, u_int, v_int, r0, r1, c0, c1, dx, dy)
+                + pgy
+            )
+            if su_tnd is not None:
+                su_rhs = su_rhs - su_tnd[w]
+            if sv_tnd is not None:
+                sv_rhs = sv_rhs - sv_tnd[w]
+            return su_now[w] - dt * su_rhs, sv_now[w] - dt * sv_rhs
+
+        windows = self._banded_regions(s_new.shape[0], s_new.shape[1], nb)
+        pieces = [upd(*w) for w in windows]
+        su_new = self._assemble_banded(xp, su_now, [p[0] for p in pieces], nb)
+        sv_new = self._assemble_banded(xp, sv_now, [p[1] for p in pieces], nb)
+        hb = self.horizontal_boundary
+        su_new = hb.restrict_stencil_output(su_new, base=su_now, nb=nb)
+        sv_new = hb.restrict_stencil_output(sv_new, base=sv_now, nb=nb)
+        return su_new, sv_new
+
     def _step_momentum_fused(self, dt, state, tendencies, s_now_dict, s_new, mtg_new):
         """Pallas fast path: the semi-implicit pressure gradient is computed
         inside the kernel (ops/advection_step.fused_momentum_step)."""
@@ -366,19 +563,29 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             "kg m^-2 K^-1",
             time=None,
         )
-        # Montgomery from the stepped density (reference ``rk3ws_si.py:193-196``);
-        # the state may carry the (time-dependent) topography as a traced input
-        mtg_new = self._diagnostics.get_montgomery_potential(
-            out["air_isentropic_density"], self._pt, hs=state.get("topography_height")
-        )
-        momentum = (
-            self._step_momentum_fused
-            if self._use_fused_kernel()
-            else self._step_momentum
-        )
-        su_new, sv_new = momentum(
-            dt, state, tendencies, self._now, out["air_isentropic_density"], mtg_new
-        )
+        s_new = out["air_isentropic_density"]
+        if self._use_bands(s_new.shape):
+            # overlapped path: Montgomery is recomputed per band window inside
+            # the banded momentum step (column-local scan — bitwise identical)
+            su_new, sv_new = self._step_momentum_banded(
+                dt, state, tendencies, self._now, s_new,
+                state.get("topography_height"),
+            )
+        else:
+            # Montgomery from the stepped density (reference
+            # ``rk3ws_si.py:193-196``); the state may carry the
+            # (time-dependent) topography as a traced input
+            mtg_new = self._diagnostics.get_montgomery_potential(
+                s_new, self._pt, hs=state.get("topography_height")
+            )
+            momentum = (
+                self._step_momentum_fused
+                if self._use_fused_kernel()
+                else self._step_momentum
+            )
+            su_new, sv_new = momentum(
+                dt, state, tendencies, self._now, s_new, mtg_new
+            )
         out["x_momentum_isentropic"] = su_new
         out["y_momentum_isentropic"] = sv_new
         return out
@@ -391,11 +598,9 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             "y_momentum_isentropic",
         ]
         if self._moist:
-            names += [
-                "isentropic_density_of_water_vapor",
-                "isentropic_density_of_cloud_liquid_water",
-                "isentropic_density_of_precipitation_water",
-            ]
+            # mass fractions: the densities sq0 = clip(s0·q0) are re-formed
+            # per stage inside the step kernels (never materialized)
+            names += [mfwv, mfcw, mfpw]
         self._now = {n: state[n] for n in names}
 
     def stage_call(self, stage: int, timestep: float, state, tendencies) -> Dict[str, Any]:

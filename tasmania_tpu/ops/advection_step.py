@@ -95,9 +95,17 @@ def _specs(TX, e, ny, nz, nb):
     return u_spec, v_spec, c_spec, h_spec
 
 
+def _clip_pos(x):
+    """Positivity clip with the exact semantics of
+    ``dwarfs.diagnostics.WaterConstituent._clip`` (a ``where``, not ``max``)."""
+    return jnp.where(x > 0.0, x, jnp.zeros_like(x))
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("order", "nb", "dt", "dx", "dy", "tile_x", "interpret"),
+    static_argnames=(
+        "order", "nb", "dt", "dx", "dy", "tile_x", "interpret", "q_product"
+    ),
 )
 def fused_advection_fields(
     u,
@@ -113,6 +121,7 @@ def fused_advection_fields(
     dy: float = 1.0,
     tile_x: int = 32,
     interpret: bool = False,
+    q_product=None,
 ):
     """Step each field through one fused upwind advection update.
 
@@ -122,13 +131,22 @@ def fused_advection_fields(
       fields_now / fields_int: tuples of F (nx, ny, nz) base / provisional
         fields.
       tnds: optional tuple of F source terms, each (nx, ny, nz) or None.
+      q_product: optional tuple of F bools; where True, the field enters as a
+        MASS FRACTION q and the kernel advects the water density
+        ``sq = clip(s·q)`` formed in VMEM from field 0 (the air density) — the
+        three sq inputs never materialize in HBM (reference ``dycore.py:766-774``
+        conversions fused into ``utils.py:44 step_forward_euler``).  Field 0
+        must not be flagged.
 
     Returns:
-      tuple of F (nx, ny, nz) stepped fields (nb-frame = now values).
+      tuple of F (nx, ny, nz) stepped fields (nb-frame = now values; for
+      flagged fields the stepped/pasted quantity is the density ``sq``).
     """
     fields_now = tuple(fields_now)
     fields_int = tuple(fields_int)
     F = len(fields_now)
+    qp = tuple(q_product) if q_product is not None else (False,) * F
+    assert len(qp) == F and not (qp and qp[0])
     nx, ny, nz = fields_now[0].shape
     e = 2 if order == 3 else 3
     assert order in (3, 5)
@@ -149,9 +167,16 @@ def fused_advection_fields(
         out_refs = refs[2 + 2 * F + len(tnd_args) :]
         uf = u_ref[:]
         vf = v_ref[:]
+        s_now = now_refs[0][:] if any(qp) else None
+        s_int = int_refs[0][:] if any(qp) else None
         for f in range(F):
-            now = now_refs[f][:]
-            div = _div_tile(order, TX, ny, nb, dx, dy, uf, vf, int_refs[f][:])
+            if qp[f]:
+                now = _clip_pos(s_now * now_refs[f][:])
+                phi_int = _clip_pos(s_int * int_refs[f][:])
+            else:
+                now = now_refs[f][:]
+                phi_int = int_refs[f][:]
+            div = _div_tile(order, TX, ny, nb, dx, dy, uf, vf, phi_int)
             rhs = div - next(t_refs)[:, jin] if has_tnd[f] else div
             out_refs[f][0:TX, jin] = now[:, jin] - dt * rhs
             out_refs[f][0:TX, 0:nb] = now[:, 0:nb]
@@ -161,7 +186,9 @@ def fused_advection_fields(
     outs = pl.pallas_call(
         kernel,
         grid=(NXI // TX,),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        # the in-VMEM sq products push the scoped allocation slightly past
+        # 100 MB at the benchmark size; v5e has 128 MB of VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
         in_specs=[u_spec, v_spec]
         + [c_spec] * F
         + [h_spec] * F
@@ -170,7 +197,13 @@ def fused_advection_fields(
         out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), fields_now[0].dtype)] * F,
         interpret=interpret,
     )(u, v, *fields_now, *fields_int, *tnd_args)
-    return _paste_x_edges(outs, fields_now, nb, nx)
+    # the x-edge paste mirrors the in-kernel quantity: the density product for
+    # flagged fields (XLA computes only the sliced nb edge rows)
+    paste_now = tuple(
+        _clip_pos(fields_now[0] * fn) if qpf else fn
+        for fn, qpf in zip(fields_now, qp)
+    )
+    return _paste_x_edges(outs, paste_now, nb, nx)
 
 
 @functools.partial(

@@ -172,6 +172,12 @@ class DistributedBoundary(HorizontalBoundary):
         self._inner_type = inner_type
         self._kwargs = dict(ghb.kwargs)
         self._periodic = inner_type == "periodic"
+        # explicit comm/compute overlap (SURVEY.md §2.8): halo exchanges
+        # assemble by concatenation and the prognostic splits its stencils
+        # into an interior band (pure slices of the pre-exchange core — no
+        # dependency on the ppermutes) + four edge bands; XLA schedules the
+        # interior concurrently with the collectives
+        self.overlap_bands: bool = True
 
         # global physical-BC constants (host numpy, windowed at setup)
         self._host_consts: Dict[str, np.ndarray] = {}

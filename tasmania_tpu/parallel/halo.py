@@ -9,6 +9,17 @@ are left for the physical boundary conditions.
 These functions must be called *inside* ``shard_map`` with mesh axis names
 bound.  The exchange is issued as two independent ppermute pairs per axis, so
 XLA can overlap the transfers with unrelated compute between issue and use.
+
+Exchanged blocks are assembled by CONCATENATION — ``concat(recv_lo, core,
+recv_hi)`` — not by in-place slice updates.  This is the key to explicit
+comm/compute overlap (SURVEY.md §2.8 "overlapped with interior compute"):
+XLA's algebraic simplifier rewrites a slice that falls entirely inside the
+``core`` operand to a slice of ``core`` itself, so any downstream computation
+that only touches interior cells carries **no data dependency on the
+ppermutes** and schedules concurrently with them.  The prognostic's
+interior/edge band split (``isentropic/dynamics/prognostic.py``,
+``overlap_bands``) exploits exactly this.  Concatenation is also the
+SPMD-robust construction (TODO.md scatter-partitioner note).
 """
 
 from __future__ import annotations
@@ -33,6 +44,14 @@ def _put(f, axis: int, sl: slice, value):
     return f.at[tuple(idx)].set(value)
 
 
+def _assemble(f, axis: int, nb: int, lo, hi):
+    """``concat(lo, core, hi)`` along ``axis`` — the interior cells are a pure
+    slice of the pre-exchange array, so interior-only consumers do not depend
+    on the collectives that produced ``lo``/``hi``."""
+    core = _take(f, axis, slice(nb, f.shape[axis] - nb))
+    return jnp.concatenate([lo, core, hi], axis=axis)
+
+
 def halo_exchange_axis(
     f,
     nb: int,
@@ -47,8 +66,13 @@ def halo_exchange_axis(
         if periodic:
             # single shard owns the whole ring: wrap locally
             m = f.shape[axis]
-            f = _put(f, axis, slice(0, nb), _take(f, axis, slice(m - 2 * nb, m - nb)))
-            f = _put(f, axis, slice(m - nb, m), _take(f, axis, slice(nb, 2 * nb)))
+            return _assemble(
+                f,
+                axis,
+                nb,
+                _take(f, axis, slice(m - 2 * nb, m - nb)),
+                _take(f, axis, slice(nb, 2 * nb)),
+            )
         return f
 
     send_hi = _take(f, axis, slice(f.shape[axis] - 2 * nb, f.shape[axis] - nb))
@@ -70,16 +94,13 @@ def halo_exchange_axis(
 
     lo_halo = _take(f, axis, slice(0, nb))
     hi_halo = _take(f, axis, slice(f.shape[axis] - nb, f.shape[axis]))
-    f = _put(
-        f, axis, slice(0, nb), jnp.where(has_left, from_left, lo_halo)
-    )
-    f = _put(
+    return _assemble(
         f,
         axis,
-        slice(f.shape[axis] - nb, f.shape[axis]),
+        nb,
+        jnp.where(has_left, from_left, lo_halo),
         jnp.where(has_right, from_right, hi_halo),
     )
-    return f
 
 
 def halo_exchange(
@@ -137,14 +158,15 @@ def _exchange_axis_multi(fs, nb: int, axis: int, axis_name: str, periodic: bool)
         off += size
         lo_halo = _take(f, axis, slice(0, nb))
         hi_halo = _take(f, axis, slice(f.shape[axis] - nb, f.shape[axis]))
-        f = _put(f, axis, slice(0, nb), jnp.where(has_left, fl, lo_halo))
-        f = _put(
-            f,
-            axis,
-            slice(f.shape[axis] - nb, f.shape[axis]),
-            jnp.where(has_right, fr, hi_halo),
+        out.append(
+            _assemble(
+                f,
+                axis,
+                nb,
+                jnp.where(has_left, fl, lo_halo),
+                jnp.where(has_right, fr, hi_halo),
+            )
         )
-        out.append(f)
     return out
 
 
