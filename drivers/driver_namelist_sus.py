@@ -84,10 +84,15 @@ def build_domain_and_state(nl):
     return domain, state, pt
 
 
-def build_model(nl, domain, pt):
+def build_model(nl, domain, pt, skip=()):
     """Dycore + SUS physics chain against ``domain`` (global OR a per-shard
     ``LocalDomain`` — the distributed runner reuses exactly this construction,
-    VERDICT round-1 item 1)."""
+    VERDICT round-1 item 1).
+
+    ``skip``: names of physics processes to leave out (profiling harness,
+    drivers/driver_profile.py): any of {"diagnostics", "coriolis", "smoothing",
+    "smagorinsky", "velocities", "kessler", "satadj", "vertical_advection",
+    "sedimentation", "precipitation"}."""
     from tasmania_tpu.framework import ConcurrentCoupling, TimeIntegrationOptions
     from tasmania_tpu.framework.splitting import SequentialUpdateSplitting
     from tasmania_tpu.isentropic import IsentropicDynamicalCore
@@ -134,16 +139,17 @@ def build_model(nl, domain, pt):
     # physics chain (reference driver_namelist_sus.py:183-471)
     ptis = nl.physics_time_integration_scheme
     args = []
-    dv = IsentropicDiagnostics(domain, "numerical", moist=True, pt=pt, **common)
-    args.append(TimeIntegrationOptions(component=dv))
+    if "diagnostics" not in skip:
+        dv = IsentropicDiagnostics(domain, "numerical", moist=True, pt=pt, **common)
+        args.append(TimeIntegrationOptions(component=dv))
 
-    if nl.coriolis_parameter is not None:
+    if nl.coriolis_parameter is not None and "coriolis" not in skip:
         cf = IsentropicConservativeCoriolis(
             domain, "numerical", nl.coriolis_parameter, **common
         )
         args.append(TimeIntegrationOptions(component=cf, scheme=ptis))
 
-    if nl.smooth:
+    if nl.smooth and "smoothing" not in skip:
         hs_comp = IsentropicHorizontalSmoothing(
             domain,
             nl.smooth_type,
@@ -158,47 +164,51 @@ def build_model(nl, domain, pt):
         )
         args.append(TimeIntegrationOptions(component=hs_comp))
 
-    turb = IsentropicSmagorinsky(domain, nl.smagorinsky_constant, **common)
-    args.append(TimeIntegrationOptions(component=turb, scheme=ptis))
+    if "smagorinsky" not in skip:
+        turb = IsentropicSmagorinsky(domain, nl.smagorinsky_constant, **common)
+        args.append(TimeIntegrationOptions(component=turb, scheme=ptis))
 
-    ivc = IsentropicVelocityComponents(domain, **common)
-    args.append(TimeIntegrationOptions(component=ivc))
+    if "velocities" not in skip:
+        ivc = IsentropicVelocityComponents(domain, **common)
+        args.append(TimeIntegrationOptions(component=ivc))
 
     t2d = AirPotentialTemperatureToDiagnostic(domain, "numerical", **common)
-    ke = KesslerMicrophysics(
-        domain,
-        "numerical",
-        air_pressure_on_interface_levels=True,
-        tendency_of_air_potential_temperature_in_diagnostics=False,
-        rain_evaporation=nl.rain_evaporation,
-        autoconversion_threshold=nl.autoconversion_threshold,
-        autoconversion_rate=nl.autoconversion_rate,
-        collection_rate=nl.collection_rate,
-        **common,
-    )
-    args.append(
-        TimeIntegrationOptions(
-            component=ConcurrentCoupling(ke, t2d, execution_policy="serial"),
-            scheme=ptis,
+    if "kessler" not in skip:
+        ke = KesslerMicrophysics(
+            domain,
+            "numerical",
+            air_pressure_on_interface_levels=True,
+            tendency_of_air_potential_temperature_in_diagnostics=False,
+            rain_evaporation=nl.rain_evaporation,
+            autoconversion_threshold=nl.autoconversion_threshold,
+            autoconversion_rate=nl.autoconversion_rate,
+            collection_rate=nl.collection_rate,
+            **common,
         )
-    )
-
-    d2t = AirPotentialTemperatureToTendency(domain, "numerical", **common)
-    sa = KesslerSaturationAdjustmentPrognostic(
-        domain,
-        "numerical",
-        air_pressure_on_interface_levels=True,
-        saturation_rate=nl.saturation_rate,
-        **common,
-    )
-    args.append(
-        TimeIntegrationOptions(
-            component=ConcurrentCoupling(d2t, sa, t2d, execution_policy="serial"),
-            scheme=ptis,
+        args.append(
+            TimeIntegrationOptions(
+                component=ConcurrentCoupling(ke, t2d, execution_policy="serial"),
+                scheme=ptis,
+            )
         )
-    )
 
-    if nl.vertical_advection:
+    if "satadj" not in skip:
+        d2t = AirPotentialTemperatureToTendency(domain, "numerical", **common)
+        sa = KesslerSaturationAdjustmentPrognostic(
+            domain,
+            "numerical",
+            air_pressure_on_interface_levels=True,
+            saturation_rate=nl.saturation_rate,
+            **common,
+        )
+        args.append(
+            TimeIntegrationOptions(
+                component=ConcurrentCoupling(d2t, sa, t2d, execution_policy="serial"),
+                scheme=ptis,
+            )
+        )
+
+    if nl.vertical_advection and "vertical_advection" not in skip:
         if nl.implicit_vertical_advection:
             vf = IsentropicImplicitVerticalAdvectionDiagnostic(
                 domain, moist=True, **common
@@ -221,18 +231,20 @@ def build_model(nl, domain, pt):
         sedimentation_flux_scheme=nl.sedimentation_flux_scheme,
         **common,
     )
-    args.append(
-        TimeIntegrationOptions(
-            component=ConcurrentCoupling(rfv, sd, execution_policy="serial"),
-            scheme="rk3ws",
+    if "sedimentation" not in skip:
+        args.append(
+            TimeIntegrationOptions(
+                component=ConcurrentCoupling(rfv, sd, execution_policy="serial"),
+                scheme="rk3ws",
+            )
         )
-    )
-    ap = Precipitation(domain, "numerical", **common)
-    args.append(
-        TimeIntegrationOptions(
-            component=ConcurrentCoupling(rfv, ap, execution_policy="serial")
+    if "precipitation" not in skip:
+        ap = Precipitation(domain, "numerical", **common)
+        args.append(
+            TimeIntegrationOptions(
+                component=ConcurrentCoupling(rfv, ap, execution_policy="serial")
+            )
         )
-    )
 
     physics = SequentialUpdateSplitting(*args)
     return dycore, physics

@@ -186,9 +186,52 @@ class IsentropicDynamicalCore(DynamicalCore):
 
     # -- stage ------------------------------------------------------------------ #
     def stage_array_call(self, stage, raw_state, raw_tendencies, timestep):
+        if self._can_fuse_stage():
+            return self._stage_fused(stage, raw_state, raw_tendencies, timestep)
         if self._moist:
             return self._stage_moist(stage, raw_state, raw_tendencies, timestep)
         return self._stage_dry(stage, raw_state, raw_tendencies, timestep)
+
+    def _can_fuse_stage(self) -> bool:
+        """Whole-stage Pallas fusion: the stage stencils AND this epilogue
+        (mass fractions, enforce_raw, Rayleigh damping) run inside two fused
+        kernels (``ops/advection_step.fused_momentum_epilogue``) — requires the
+        pallas backend, a plain 2-D relaxed boundary, and a Rayleigh (or no)
+        damper."""
+        if self._damp and type(self._damper).__name__ != "Rayleigh":
+            return False
+        return self._prognostic.supports_fused_epilogue()
+
+    def _stage_fused(self, stage, raw_state, raw_tendencies, timestep):
+        import jax.numpy as jnp
+
+        hb = self.horizontal_boundary
+        do_damp = self._damp and (
+            self._damp_at_every_stage or stage == self.stages - 1
+        )
+        rmat = None
+        if do_damp:
+            rmat = jnp.asarray(
+                self._damper._rmat[False][0, :, : self.grid.nz],
+                dtype=raw_state["air_isentropic_density"].dtype,
+            )
+        out = self._prognostic.stage_call_fused_epilogue(
+            stage, timestep, raw_state, raw_tendencies, rmat=rmat, dtf=timestep
+        )
+        u_new, v_new = self._velocity_components.get_velocity_components(
+            out["air_isentropic_density"],
+            out["x_momentum_isentropic"],
+            out["y_momentum_isentropic"],
+        )
+        u_new = hb.set_outermost_layers_x(
+            u_new, "x_velocity_at_u_locations", "m s^-1", time=None
+        )
+        v_new = hb.set_outermost_layers_y(
+            v_new, "y_velocity_at_v_locations", "m s^-1", time=None
+        )
+        out["x_velocity_at_u_locations"] = u_new
+        out["y_velocity_at_v_locations"] = v_new
+        return out
 
     def _ref_raw(self, name: str, units: str):
         ref = self.horizontal_boundary.reference_state[name]

@@ -207,12 +207,16 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             self._hflux.flux_x(uu, ph), self._hflux.flux_y(vv, ph), e, dx, dy
         )
 
-    def _fused(self, dt, u_int, v_int, names_now, names_int, tnds, q_product=None):
-        """Dispatch the per-field Pallas advection kernel (ops/advection_step)."""
+    def _fused(
+        self, dt, u_int, v_int, names_now, names_int, tnds, q_product=None, bc=None
+    ):
+        """Dispatch the per-field Pallas advection kernel (ops/advection_step).
+        ``bc=(gamma, s_ref)`` folds the relaxed BC on field 0 into the kernel."""
         from tasmania_tpu.ops.advection_step import fused_advection_fields
 
         nb = self.horizontal_boundary.nb
         dx, dy = self._grid_spacings()
+        gamma, ref0 = bc if bc is not None else (None, None)
         return list(
             fused_advection_fields(
                 u_int,
@@ -220,6 +224,8 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
                 tuple(names_now),
                 tuple(names_int),
                 tuple(tnds) if tnds is not None else None,
+                gamma,
+                ref0,
                 order=self._hflux.order,
                 nb=nb,
                 dt=float(dt),
@@ -230,7 +236,145 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             )
         )
 
-    def _step_density_and_water(self, dt, state, tendencies, s_now_dict):
+    # -- fused-epilogue fast path (pallas + relaxed BC) -------------------------- #
+    def _relaxed_consts(self, dtype):
+        """(γ (nx, ny), per-field reference arrays) for the in-kernel relaxed
+        BC; trace-time constants exactly like the unfused enforce closures."""
+        import jax.numpy as jnp
+
+        hb = self.horizontal_boundary
+        gamma = jnp.asarray(hb._gamma[: self.grid.nx, : self.grid.ny], dtype=dtype)
+        units = {
+            "air_isentropic_density": "kg m^-2 K^-1",
+            "x_momentum_isentropic": "kg m^-1 K^-1 s^-1",
+            "y_momentum_isentropic": "kg m^-1 K^-1 s^-1",
+            mfwv: "g g^-1",
+            mfcw: "g g^-1",
+            mfpw: "g g^-1",
+        }
+        names = list(units)[:3] + ([mfwv, mfcw, mfpw] if self._moist else [])
+        refs = {
+            n: jnp.asarray(
+                hb.reference_state[n].to_units(units[n]).data, dtype=dtype
+            )
+            for n in names
+        }
+        return gamma, refs
+
+    def supports_fused_epilogue(self) -> bool:
+        """Whole-stage fusion (advection+BC, momentum+epilogue kernels) is
+        available: pallas backend, supported flux order, plain 2-D relaxed
+        boundary, reference state covering every enforced field."""
+        hb = self.horizontal_boundary
+        if not self._use_fused_kernel():
+            return False
+        if type(hb).__name__ != "Relaxed" or hb._oneDX or hb._oneDY:
+            return False
+        ref = hb.reference_state
+        if ref is None:
+            return False
+        names = [
+            "air_isentropic_density",
+            "x_momentum_isentropic",
+            "y_momentum_isentropic",
+        ] + ([mfwv, mfcw, mfpw] if self._moist else [])
+        return all(n in ref for n in names)
+
+    def stage_call_fused_epilogue(
+        self, stage, timestep, state, tendencies, *, rmat=None, dtf=None
+    ):
+        """One SI stage with the dycore epilogue fused into the kernels
+        (``ops/advection_step.fused_momentum_epilogue``): returns the FINAL
+        s, su, sv (+ moist mass fractions) — enforced (twice for s, matching
+        reference ``dycore.py:811`` after ``rk3ws_si.py:183``), and Rayleigh-
+        damped when ``rmat`` is given.  Velocity diagnosis stays with the
+        caller."""
+        import jax.numpy as jnp
+
+        from tasmania_tpu.ops.advection_step import fused_momentum_epilogue
+
+        if stage == 0:
+            self._capture_now(state)
+        fracs = self.substep_fractions
+        frac = fracs[stage] if isinstance(fracs, tuple) else fracs
+        dt = frac * timestep
+        tendencies = tendencies or {}
+        hb = self.horizontal_boundary
+        nb = hb.nb
+        dx, dy = self._grid_spacings()
+        s_now_dict = self._now
+
+        dtype = state["air_isentropic_density"].dtype
+        gamma, refs = self._relaxed_consts(dtype)
+
+        # kernel A: density (+ water densities) stepped, s enforced in VMEM
+        out = self._step_density_and_water(
+            dt, state, tendencies, s_now_dict, bc=(gamma, refs["air_isentropic_density"])
+        )
+        s_e = out["air_isentropic_density"]
+        mtg_new = self._diagnostics.get_montgomery_potential(
+            s_e, self._pt, hs=state.get("topography_height")
+        )
+
+        sq_names = (
+            "isentropic_density_of_water_vapor",
+            "isentropic_density_of_cloud_liquid_water",
+            "isentropic_density_of_precipitation_water",
+        )
+        q_names = (mfwv, mfcw, mfpw)
+        sqs = tuple(out[n] for n in sq_names) if self._moist else ()
+        q_refs = tuple(refs[n] for n in q_names) if self._moist else ()
+
+        su_tnd = tendencies.get("x_momentum_isentropic")
+        sv_tnd = tendencies.get("y_momentum_isentropic")
+        has_tnd = su_tnd is not None or sv_tnd is not None
+        if has_tnd:
+            su_tnd = su_tnd if su_tnd is not None else jnp.zeros_like(s_e)
+            sv_tnd = sv_tnd if sv_tnd is not None else jnp.zeros_like(s_e)
+
+        do_damp = rmat is not None
+        res = fused_momentum_epilogue(
+            state["x_velocity_at_u_locations"],
+            state["y_velocity_at_v_locations"],
+            s_now_dict["x_momentum_isentropic"],
+            s_now_dict["y_momentum_isentropic"],
+            state["x_momentum_isentropic"],
+            state["y_momentum_isentropic"],
+            s_now_dict["air_isentropic_density"],
+            s_now_dict["montgomery_potential"],
+            s_e,
+            mtg_new,
+            sqs,
+            gamma,
+            refs["air_isentropic_density"],
+            refs["x_momentum_isentropic"],
+            refs["y_momentum_isentropic"],
+            q_refs,
+            rmat if do_damp else jnp.zeros((1, s_e.shape[2]), dtype=dtype),
+            su_tnd if has_tnd else None,
+            sv_tnd if has_tnd else None,
+            order=self._hflux.order,
+            nb=nb,
+            dt=float(dt),
+            dtf=float(dtf if dtf is not None else timestep),
+            dx=dx,
+            dy=dy,
+            eps=self._eps,
+            nq=len(sqs),
+            do_damp=do_damp,
+            has_tnd=has_tnd,
+            interpret=self._backend == "pallas:interpret",
+        )
+        result = {
+            "air_isentropic_density": res[0],
+            "x_momentum_isentropic": res[1],
+            "y_momentum_isentropic": res[2],
+        }
+        for k, n in enumerate(q_names[: len(sqs)]):
+            result[n] = res[3 + k]
+        return result
+
+    def _step_density_and_water(self, dt, state, tendencies, s_now_dict, bc=None):
         """First stencil: step s (+ sqv, sqc, sqr)
         (reference ``utils.py:44`` ``step_forward_euler``).
 
@@ -290,6 +434,7 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
                 [state[q] for q in q_names],
                 tnds,
                 q_product=tuple(q != sq for sq, q in zip(names, q_names)),
+                bc=bc,
             )
             hb = self.horizontal_boundary
             return {
