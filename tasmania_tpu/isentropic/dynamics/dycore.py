@@ -197,7 +197,11 @@ class IsentropicDynamicalCore(DynamicalCore):
         (mass fractions, enforce_raw, Rayleigh damping) run inside two fused
         kernels (``ops/advection_step.fused_momentum_epilogue``) — requires the
         pallas backend, a plain 2-D relaxed boundary, and a Rayleigh (or no)
-        damper."""
+        damper.  ``TASMANIA_FUSE_STAGE=0`` disables it (tuning/debug)."""
+        import os
+
+        if os.environ.get("TASMANIA_FUSE_STAGE", "1") == "0":
+            return False
         if self._damp and type(self._damper).__name__ != "Rayleigh":
             return False
         return self._prognostic.supports_fused_epilogue()
