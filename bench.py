@@ -68,21 +68,36 @@ def bench_burgers(nx=2048, ny=2048, nb=3, nt=50, dtype="float32"):
     return nx * ny * nt / elapsed
 
 
-def _run_sus_subprocess(backend: str, timeout_s: int):
-    """Run the SUS driver in a subprocess; returns gps or None on failure.
+def _tail(text: str, n: int = 12) -> str:
+    lines = (text or "").strip().splitlines()
+    return "\n".join(lines[-n:])
 
-    The pallas backend is 1.62x faster but a COLD axon remote compile can take
-    ~25 min; the subprocess timeout turns that into a clean fallback."""
+
+def _run_sus_subprocess(backend: str, timeout_s: int):
+    """Run the SUS driver in a subprocess.
+
+    Returns ``{"gps": float, "umax": ...}`` on success, else
+    ``{"error": ..., "stderr_tail": ...}`` — the failure mode is ALWAYS
+    recorded (round-2 lesson, VERDICT.md weak #2: a crashed pallas run fell
+    back to jnp with rc:0 and nothing in the artifact said so).
+
+    A COLD axon remote compile can take ~25 min; a persistent JAX compilation
+    cache (``.jax_cache/``) is enabled so only the first-ever run pays it."""
+    import os
     import re
     import subprocess
     import sys
     from pathlib import Path
 
+    root = Path(__file__).resolve().parent
+    env = os.environ.copy()
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(root / ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     try:
         proc = subprocess.run(
             [
                 sys.executable,
-                str(Path(__file__).resolve().parent / "drivers" / "driver_namelist_sus.py"),
+                str(root / "drivers" / "driver_namelist_sus.py"),
                 "--backend",
                 backend,
                 "--fused-loop",
@@ -90,51 +105,79 @@ def _run_sus_subprocess(backend: str, timeout_s: int):
             capture_output=True,
             text=True,
             timeout=timeout_s,
+            env=env,
         )
-    except subprocess.TimeoutExpired:
-        return None
+    except subprocess.TimeoutExpired as exc:
+        return {
+            "error": f"timeout after {timeout_s}s",
+            "stdout_tail": _tail(
+                exc.stdout.decode() if isinstance(exc.stdout, bytes)
+                else (exc.stdout or "")
+            ),
+        }
     if proc.returncode != 0:
-        return None
+        return {
+            "error": f"rc={proc.returncode}",
+            "stderr_tail": _tail(proc.stderr),
+        }
     m = re.search(r"Throughput: ([0-9.e+]+) gridpoints/s", proc.stdout)
-    return {"gps": float(m.group(1))} if m else None
+    if not m:
+        return {"error": "no throughput line", "stdout_tail": _tail(proc.stdout)}
+    res = {"gps": float(m.group(1))}
+    mu = re.search(r"umax = ([0-9.\-]+)", proc.stdout)
+    if mu:
+        res["umax"] = float(mu.group(1))
+    return res
 
 
 def bench_isentropic():
     """The reference's own headline benchmark: moist isentropic core,
     161x161x120, rk3ws_si + fifth_order_upwind, full Kessler physics chain
     via sequential-update splitting, 100 steps of 5 s
-    (reference drivers/benchmarking/isentropic_moist/namelist_sus.py)."""
+    (reference drivers/benchmarking/isentropic_moist/namelist_sus.py).
+
+    Returns the result dict with a ``backend`` provenance key; if the pallas
+    attempt failed, its error tail rides along as ``pallas_error`` so the
+    committed artifact shows the official backend did not run."""
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-    res = _run_sus_subprocess("pallas", timeout_s=2100)
-    if res is not None:
+    res = _run_sus_subprocess("pallas", timeout_s=3300)
+    if "gps" in res:
+        res["backend"] = "pallas"
         return res
+    pallas_error = res
+    print(f"PALLAS BENCH FAILED, falling back to jnp: {pallas_error}",
+          file=sys.stderr)
     # fallback: pure-XLA backend (reliable ~30 s compile)
     from drivers.driver_namelist_sus import main as sus_main
 
-    return sus_main(["--fused-loop"])
+    out = sus_main(["--fused-loop"])
+    out["backend"] = "jnp-fallback"
+    out["pallas_error"] = json.dumps(pallas_error)
+    return out
 
 
 def main():
     res = bench_isentropic()
     # the reference publishes no numbers (BASELINE.md); vs_baseline is the
     # ratio to our first recorded TPU measurement: 1.013e8 gridpoints/s
-    # (full SUS benchmark config, jnp backend, f32, one TPU v5e chip, r1);
-    # the pallas backend reaches 1.62e8 (vs_baseline ~1.6)
+    # (full SUS benchmark config, jnp backend, f32, one TPU v5e chip, r1)
     baseline = 1.013e8
-    print(
-        json.dumps(
-            {
-                "metric": "isentropic_moist_sus_gridpoints_per_s_per_chip",
-                "value": round(res["gps"], 1),
-                "unit": "gridpoints/s",
-                "vs_baseline": round(res["gps"] / baseline, 3),
-            }
-        )
-    )
+    line = {
+        "metric": "isentropic_moist_sus_gridpoints_per_s_per_chip",
+        "value": round(res["gps"], 1),
+        "unit": "gridpoints/s",
+        "vs_baseline": round(res["gps"] / baseline, 3),
+        "backend": res.get("backend", "unknown"),
+    }
+    if "umax" in res:
+        line["umax"] = res["umax"]
+    if "pallas_error" in res:
+        line["pallas_error"] = res["pallas_error"]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

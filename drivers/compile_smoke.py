@@ -1,0 +1,245 @@
+"""TPU compile-smoke gate: lower + run EVERY Pallas kernel at benchmark shapes.
+
+Interpret-mode tests validate numerics but skip Mosaic lowering entirely —
+they cannot catch tiling-legality, VMEM-limit, or layout errors (which is how
+a kernel that could not compile on the chip shipped in round 2; VERDICT.md
+weak #1/#3).  This driver is the TPU analogue of the reference's compiled
+gt4py backend sweep (``/root/reference/tests/conf.py:31-95``): it compiles
+and executes every registered kernel at the flagship benchmark shapes
+(nx=ny=161, nz=120, ``drivers/benchmarking/isentropic_moist/namelist_sus.py:34-40``)
+on whatever ``jax.devices()[0]`` is — run it on the real chip before any
+snapshot.
+
+Usage:
+    python drivers/compile_smoke.py            # compile + run each kernel
+    python drivers/compile_smoke.py --list     # just list the kernels
+
+Exit status is non-zero if any kernel fails to lower/execute; each failure
+prints the kernel name and the exception tail so the round's bench cannot
+silently fall back.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NX = NY = 161
+NZ = 120
+NB = 3
+DT = 5.0
+DX = DY = 2200.0
+
+
+def _f(shape, seed, lo=0.1, hi=1.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(lo, hi, shape), jnp.float32)
+
+
+def smoke_advection_fields():
+    from tasmania_tpu.ops.advection_step import fused_advection_fields
+
+    u = _f((NX + 1, NY, NZ), 0)
+    v = _f((NX, NY + 1, NZ), 1)
+    s = _f((NX, NY, NZ), 2, 5.0, 10.0)
+    qs = tuple(_f((NX, NY, NZ), 3 + i, 0.0, 1e-3) for i in range(3))
+    gamma = jnp.zeros((NX, NY), jnp.float32).at[:NB].set(0.5).at[-NB:].set(0.5)
+    return fused_advection_fields(
+        u, v, (s,) + qs, (s,) + qs,
+        tnds=None, gamma=gamma, ref0=s,
+        order=5, nb=NB, dt=DT, dx=DX, dy=DY,
+        q_product=(False, True, True, True),
+    )
+
+
+def smoke_momentum_step():
+    from tasmania_tpu.ops.advection_step import fused_momentum_step
+
+    u = _f((NX + 1, NY, NZ), 10)
+    v = _f((NX, NY + 1, NZ), 11)
+    su = _f((NX, NY, NZ), 12)
+    sv = _f((NX, NY, NZ), 13)
+    s = _f((NX, NY, NZ), 14, 5.0, 10.0)
+    mtg = _f((NX, NY, NZ), 15, 1e5, 3e5)
+    return fused_momentum_step(
+        u, v, su, sv, su, sv, s, mtg, s, mtg,
+        order=5, nb=NB, dt=DT, dx=DX, dy=DY, eps=0.5,
+    )
+
+
+def smoke_momentum_epilogue():
+    from tasmania_tpu.ops.advection_step import fused_momentum_epilogue
+
+    u = _f((NX + 1, NY, NZ), 20)
+    v = _f((NX, NY + 1, NZ), 21)
+    su = _f((NX, NY, NZ), 22)
+    sv = _f((NX, NY, NZ), 23)
+    s = _f((NX, NY, NZ), 24, 5.0, 10.0)
+    mtg = _f((NX, NY, NZ), 25, 1e5, 3e5)
+    sqs = tuple(_f((NX, NY, NZ), 26 + i, 0.0, 1e-2) for i in range(3))
+    qrefs = tuple(_f((NX, NY, NZ), 29 + i, 0.0, 1e-3) for i in range(3))
+    gamma = jnp.zeros((NX, NY), jnp.float32).at[:NB].set(0.5).at[-NB:].set(0.5)
+    rmat = _f((1, NZ), 33, 0.0, 0.1)
+    return fused_momentum_epilogue(
+        u, v, su, sv, su, sv, s, mtg, s, mtg,
+        sqs, gamma, s, su, sv, qrefs, rmat,
+        order=5, nb=NB, dt=DT, dtf=DT, dx=DX, dy=DY, eps=0.5,
+        nq=3, do_damp=True,
+    )
+
+
+def smoke_diagnostics():
+    from tasmania_tpu.ops.diagnostics_step import fused_isentropic_diagnostics
+
+    s = _f((NX, NY, NZ), 40, 5.0, 10.0)
+    hs = _f((NX, NY), 41, 0.0, 500.0)
+    theta = jnp.linspace(400.0, 280.0, NZ + 1, dtype=jnp.float32)[None, :]
+    outs = []
+    for mode in ("mtg", "dry", "moist"):
+        r = fused_isentropic_diagnostics(
+            s, hs, theta,
+            pt=2000.0, dz=1.0, g=9.80665, cp=1004.0, rd=287.05,
+            pref=1.0e5, mode=mode,
+        )
+        outs.append(r)
+    return outs
+
+
+def smoke_kessler():
+    from tasmania_tpu.ops.kessler_step import fused_kessler_rk2, fused_satadj_rk2
+
+    rho = _f((NX, NY, NZ), 50, 0.1, 1.2)
+    t = _f((NX, NY, NZ), 51, 230.0, 300.0)
+    p_if = _f((NX, NY, NZ + 1), 52, 2e4, 1e5)
+    exn_if = _f((NX, NY, NZ + 1), 53, 700.0, 1004.0)
+    qv = _f((NX, NY, NZ), 54, 0.0, 1e-2)
+    qc = _f((NX, NY, NZ), 55, 0.0, 1e-3)
+    qr = _f((NX, NY, NZ), 56, 0.0, 1e-3)
+    a = fused_kessler_rk2(
+        rho, t, p_if, exn_if, qv, qc, qr,
+        a=5e-4, k1=1e-3, k2=2.2, beta=0.622, lhvw=2.5e6, dt=DT,
+    )
+    b = fused_satadj_rk2(
+        t, p_if, exn_if, qv, qc, a[3],
+        sr=0.5, beta=0.622, lhvw=2.5e6, cp=1004.0, rv=461.5, dt=DT,
+    )
+    return a, b
+
+
+def smoke_sedimentation():
+    from tasmania_tpu.ops.sedimentation_step import fused_sedimentation_rk3ws
+
+    rho = _f((NX, NY, NZ), 60, 0.1, 1.2)
+    h_if = jnp.cumsum(
+        _f((NX, NY, NZ + 1), 61, 50.0, 400.0), axis=-1
+    )[..., ::-1]
+    qr = _f((NX, NY, NZ), 62, 0.0, 1e-3)
+    outs = []
+    for order in (1, 2):
+        outs.append(fused_sedimentation_rk3ws(rho, h_if, qr, order=order, dt=DT))
+    return outs
+
+
+def smoke_smagorinsky():
+    from tasmania_tpu.ops.smagorinsky_step import fused_smagorinsky_rk2
+
+    s = _f((NX, NY, NZ), 70, 5.0, 10.0)
+    su = _f((NX, NY, NZ), 71)
+    sv = _f((NX, NY, NZ), 72)
+    return fused_smagorinsky_rk2(
+        s, su, sv, dx=DX, dy=DY, cs=0.18, nb=NB, dt=DT
+    )
+
+
+def smoke_smoothing():
+    from tasmania_tpu.ops.smoothing_step import fused_smoothing
+
+    fields = tuple(_f((NX, NY, NZ), 80 + i) for i in range(3))
+    gamma = _f((3, NZ), 83, 0.0, 0.5)
+    outs = []
+    for order in (1, 2, 3):
+        outs.append(fused_smoothing(fields, gamma, order=order, nb=NB))
+    return outs
+
+
+def smoke_vertical_advection():
+    from tasmania_tpu.ops.vertical_advection_step import (
+        fused_vertical_advection_rk3ws,
+    )
+
+    w = _f((NX, NY, NZ), 90, -0.01, 0.01)
+    s = _f((NX, NY, NZ), 91, 5.0, 10.0)
+    su = _f((NX, NY, NZ), 92)
+    sv = _f((NX, NY, NZ), 93)
+    qv = _f((NX, NY, NZ), 94, 0.0, 1e-2)
+    qc = _f((NX, NY, NZ), 95, 0.0, 1e-3)
+    qr = _f((NX, NY, NZ), 96, 0.0, 1e-3)
+    outs = []
+    for order in (3, 5):
+        outs.append(
+            fused_vertical_advection_rk3ws(
+                w, s, su, sv, qv, qc, qr, order=order, dt=DT, dz=1.0
+            )
+        )
+    return outs
+
+
+SMOKES = {
+    "advection_fields(order=5,moist,bc)": smoke_advection_fields,
+    "momentum_step(order=5)": smoke_momentum_step,
+    "momentum_epilogue(order=5,moist,bc,damp)": smoke_momentum_epilogue,
+    "isentropic_diagnostics(mtg|dry|moist)": smoke_diagnostics,
+    "kessler_rk2+satadj_rk2": smoke_kessler,
+    "sedimentation_rk3ws(order=1,2)": smoke_sedimentation,
+    "smagorinsky_rk2": smoke_smagorinsky,
+    "smoothing(order=1,2,3)": smoke_smoothing,
+    "vertical_advection_rk3ws(order=3,5)": smoke_vertical_advection,
+}
+
+
+def main(argv):
+    if "--list" in argv:
+        for name in SMOKES:
+            print(name)
+        return 0
+    dev = jax.devices()[0]
+    print(f"compile-smoke on {dev.platform} ({dev.device_kind}) "
+          f"at nx=ny={NX}, nz={NZ}")
+    failures = []
+    for name, fn in SMOKES.items():
+        t0 = time.perf_counter()
+        try:
+            out = fn()
+            jax.block_until_ready(out)
+            leaves = jax.tree_util.tree_leaves(out)
+            finite = all(bool(jnp.isfinite(x).all()) for x in leaves)
+            dt = time.perf_counter() - t0
+            status = "ok" if finite else "NONFINITE"
+            print(f"  [{status}] {name:45s} {dt:6.1f} s, "
+                  f"{len(leaves)} outputs")
+            if not finite:
+                failures.append((name, "non-finite output"))
+        except Exception:
+            dt = time.perf_counter() - t0
+            tail = traceback.format_exc().strip().splitlines()
+            tail = "\n    ".join(tail[-12:])
+            print(f"  [FAIL] {name:45s} {dt:6.1f} s\n    {tail}")
+            failures.append((name, tail))
+    if failures:
+        print(f"compile-smoke: {len(failures)}/{len(SMOKES)} kernels FAILED")
+        return 1
+    print(f"compile-smoke: all {len(SMOKES)} kernels lower + run on "
+          f"{dev.platform}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
