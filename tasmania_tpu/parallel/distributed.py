@@ -31,8 +31,12 @@ Design (all inside one ``shard_map``-traced step):
   ``HorizontalBoundary``).
 
 Supported inner boundary types: ``relaxed`` (the flagship), ``periodic``,
-``identity``, and ``dirichlet`` with time-independent cores.  1-D grids and
-time-dependent Dirichlet cores are single-device-only for now.
+``identity``, and ``dirichlet`` with time-independent (numpy-returning) cores
+— the core is evaluated host-side over the global boundary bands at setup and
+windowed per shard (``_dirichlet_pin_global``).  Unsupported, raising loudly
+(tests/test_distributed_framework.py): 1-D grids (``AssertionError`` at
+construction) and time-dependent Dirichlet cores returning traced jax arrays
+(``NotImplementedError`` at ``set_reference_state``).
 """
 
 from __future__ import annotations
@@ -267,8 +271,59 @@ class DistributedBoundary(HorizontalBoundary):
             self._host_consts[f"ref:{name}"] = _window_blocked(
                 data, self._decomp, (sx, sy), pad_mode="edge"
             )
+            if self._inner_type == "dirichlet":
+                pin = self._dirichlet_pin_global(
+                    name, fa.units, data, ref_state.get("time", None)
+                )
+                self._host_consts[f"pin:{name}"] = _window_blocked(
+                    pin, self._decomp, (sx, sy), pad_mode="edge"
+                )
             self._ref_meta[name] = (fa.units, fa.dims)
         return dict(self._host_consts)
+
+    def _dirichlet_pin_global(self, name, units, data, time) -> np.ndarray:
+        """Global pin target for a Dirichlet field: the user ``core`` evaluated
+        over the four nb-wide global boundary bands (the windows the
+        single-device class pastes, ``boundaries/dirichlet.py:119-152``), the
+        interior left as the reference values (never read — gamma is 0 there).
+
+        Only TIME-INDEPENDENT (numpy-returning) cores are supported
+        distributed; a core returning a traced jax array raises."""
+        core = self._global_hb.kwargs.get("core")
+        if core is None:
+            from tasmania_tpu.domain.boundaries.dirichlet import placeholder
+
+            core = placeholder
+        nb = self.nb
+        ggrid = self._global_hb.numerical_grid
+        mi, mj = data.shape[:2]
+        pin = np.array(data, copy=True)
+
+        def band(si, sj):
+            vals = core(time, ggrid, si, sj, name, units)
+            if not isinstance(vals, (np.ndarray, list, tuple, float, int)):
+                raise NotImplementedError(
+                    "time-dependent Dirichlet cores (returning traced jax "
+                    "arrays) are single-device-only; the distributed build "
+                    "evaluates the core host-side at setup "
+                    "(parallel/distributed.py::_dirichlet_pin_global)"
+                )
+            vals = np.asarray(vals, dtype=data.dtype)
+            bi = si.stop - si.start
+            bj = sj.stop - sj.start
+            if data.ndim == 3:
+                if vals.ndim == 2:
+                    vals = vals[:, :, None]
+                return np.broadcast_to(vals, (bi, bj, data.shape[2]))
+            return np.broadcast_to(vals.reshape(bi, bj), (bi, bj))
+
+        pin[0:nb, :] = band(slice(0, nb), slice(0, mj))
+        pin[mi - nb :, :] = band(slice(mi - nb, mi), slice(0, mj))
+        pin[nb : mi - nb, 0:nb] = band(slice(nb, mi - nb), slice(0, nb))
+        pin[nb : mi - nb, mj - nb :] = band(
+            slice(nb, mi - nb), slice(mj - nb, mj)
+        )
+        return pin
 
     @property
     def host_constants(self) -> Dict[str, np.ndarray]:
@@ -298,6 +353,16 @@ class DistributedBoundary(HorizontalBoundary):
     def _ref_field(self, field_name: str, field_units: Optional[str]):
         ref = self.reference_state[field_name]
         return ref.to_units(field_units).data if field_units else ref.data
+
+    def _pin_target(self, field_name: str, field_units: Optional[str]):
+        """The array boundary bands are pinned to: the windowed Dirichlet-core
+        values when present, else the reference field (relaxed)."""
+        key = f"pin:{field_name}"
+        if key in self._local_consts:
+            units, dims = self._ref_meta[field_name]
+            fa = FieldArray(self._local_consts[key], units, dims)
+            return fa.to_units(field_units).data if field_units else fa.data
+        return self._ref_field(field_name, field_units)
 
     # -- masks (iota + axis_index; no constants needed) -------------------------- #
     def _global_coords(self, length: int, axis: int, staggered: bool):
@@ -384,7 +449,7 @@ class DistributedBoundary(HorizontalBoundary):
         g = self._local_consts["gamma"].astype(field.dtype)
         while g.ndim < field.ndim:
             g = g[..., None]
-        ref = self._ref_field(field_name, field_units)
+        ref = self._pin_target(field_name, field_units)
         ref = ref[tuple(slice(0, m) for m in field.shape)]
         # exact three-way select of boundaries/relaxed.py:133
         return jnp.where(
@@ -449,7 +514,7 @@ class DistributedBoundary(HorizontalBoundary):
             # global outermost faces end up zero
             pinned = jnp.zeros_like(field)
         else:
-            ref = self._ref_field(field_name, field_units)
+            ref = self._pin_target(field_name, field_units)
             pinned = ref[tuple(slice(0, m) for m in field.shape)]
         return jnp.where(mask, pinned, field)
 

@@ -3,6 +3,14 @@
 TPU-native re-design of reference ``src/tasmania/plot/{contour,contourf,quiver,
 profile,trackers,spectrals,offline}.py`` — host-side matplotlib rendering of
 numpy-pulled states, backend-agnostic (SURVEY.md §2.7).
+
+Each drawer's ``properties`` dict accepts BOTH the raw matplotlib passthrough
+(``line_kwargs`` / ``contourf_kwargs`` / ``quiver_kwargs`` / …) and the
+reference's flat keys (``plot_utils.py make_lineplot/make_contourf/
+make_contour/make_quiver`` keyword surface): ``linecolor/linestyle/linewidth/
+marker*/legend_label``, ``cmap_name/cbar_*``, ``field_bias/field_factor``,
+``x_factor/y_factor``, ``alpha/colors``, ``arrow_*/x_step/y_step/
+quiverkey_*``.  Flat keys fill in defaults; explicit ``*_kwargs`` win.
 """
 
 from __future__ import annotations
@@ -11,6 +19,39 @@ import numpy as np
 
 from tasmania_tpu.plot.drawer import Drawer
 from tasmania_tpu.plot.retrievers import DataRetriever
+
+#: reference make_lineplot keys -> matplotlib Line2D kwargs
+_LINE_KEYS = {
+    "linecolor": "color",
+    "linestyle": "linestyle",
+    "linewidth": "linewidth",
+    "marker": "marker",
+    "markersize": "markersize",
+    "markeredgecolor": "markeredgecolor",
+    "markeredgewidth": "markeredgewidth",
+    "markerfacecolor": "markerfacecolor",
+    "legend_label": "label",
+}
+
+
+def _line_kwargs(props) -> dict:
+    kw = dict(props.get("line_kwargs", {}))
+    for src, dst in _LINE_KEYS.items():
+        if src in props:
+            kw.setdefault(dst, props[src])
+    return kw
+
+
+def _field_scaled(props, data, prefix: str = "field"):
+    """``factor·data + bias`` (reference field_factor/field_bias)."""
+    factor = props.get(f"{prefix}_factor", 1.0)
+    bias = props.get(f"{prefix}_bias", 0.0)
+    return factor * data + bias if (factor != 1.0 or bias != 0.0) else data
+
+
+def _axis_scaled(props, which: str, coords):
+    factor = props.get(f"{which}_factor", 1.0)
+    return factor * coords if factor != 1.0 else coords
 
 
 def _axis_coords(grid, dims: str, field_name: str = ""):
@@ -27,6 +68,46 @@ def _axis_coords(grid, dims: str, field_name: str = ""):
     return np.asarray(src.data)
 
 
+def _add_colorbar(fig, ax, mappable, props) -> None:
+    if not props.get("cbar_on", True):
+        return
+    kwargs = {
+        "ax": props.get("cbar_ax", ax),
+        "orientation": props.get("cbar_orientation", "vertical"),
+    }
+    if "cbar_format" in props:
+        kwargs["format"] = props["cbar_format"]
+    cb = fig.colorbar(mappable, **kwargs)
+    if "cbar_title" in props:
+        cb.ax.set_title(props["cbar_title"])
+    if "cbar_x_label" in props:
+        cb.ax.set_xlabel(props["cbar_x_label"])
+    if "cbar_y_label" in props:
+        cb.ax.set_ylabel(props["cbar_y_label"])
+    step = props.get("cbar_ticks_step", None)
+    if step and hasattr(cb, "get_ticks"):
+        cb.set_ticks(cb.get_ticks()[::step])
+
+
+def _fill_levels(props, data) -> dict:
+    """cmap/levels kwargs from the reference cbar_levels/cbar_center/
+    cbar_half_width keys."""
+    kw = {}
+    if "cmap_name" in props:
+        kw["cmap"] = props["cmap_name"]
+    levels = props.get("cbar_levels", None)
+    center = props.get("cbar_center", None)
+    half = props.get("cbar_half_width", None)
+    if center is not None and half is not None:
+        n = levels if isinstance(levels, int) else 17
+        kw["levels"] = np.linspace(center - half, center + half, n)
+    elif levels is not None:
+        kw["levels"] = levels
+    if "cbar_extend" in props:
+        kw["extend"] = props["cbar_extend"]
+    return kw
+
+
 class Contour(Drawer):
     """Contour lines of a 2-D slice (reference ``plot/contour.py:37``)."""
 
@@ -37,11 +118,16 @@ class Contour(Drawer):
         self._field_name = field_name
 
     def __call__(self, state, fig, ax):
-        data = self._retriever(state)
-        xc = _axis_coords(self._grid, self._xaxis, self._field_name)
-        yc = _axis_coords(self._grid, self._yaxis, self._field_name)
-        cs = ax.contour(xc, yc, data.T, **self.properties.get("contour_kwargs", {}))
-        if self.properties.get("clabel", False):
+        p = self.properties
+        data = _field_scaled(p, self._retriever(state))
+        xc = _axis_scaled(p, "x", _axis_coords(self._grid, self._xaxis, self._field_name))
+        yc = _axis_scaled(p, "y", _axis_coords(self._grid, self._yaxis, self._field_name))
+        kw = dict(p.get("contour_kwargs", {}))
+        for key in ("colors", "alpha"):
+            if key in p:
+                kw.setdefault(key, p[key])
+        cs = ax.contour(xc, yc, data.T, **kw)
+        if p.get("clabel", False):
             ax.clabel(cs)
 
 
@@ -55,12 +141,13 @@ class Contourf(Drawer):
         self._field_name = field_name
 
     def __call__(self, state, fig, ax):
-        data = self._retriever(state)
-        xc = _axis_coords(self._grid, self._xaxis, self._field_name)
-        yc = _axis_coords(self._grid, self._yaxis, self._field_name)
-        cf = ax.contourf(xc, yc, data.T, **self.properties.get("contourf_kwargs", {}))
-        if self.properties.get("cbar_on", True):
-            fig.colorbar(cf, ax=ax)
+        p = self.properties
+        data = _field_scaled(p, self._retriever(state))
+        xc = _axis_scaled(p, "x", _axis_coords(self._grid, self._xaxis, self._field_name))
+        yc = _axis_scaled(p, "y", _axis_coords(self._grid, self._yaxis, self._field_name))
+        kw = {**_fill_levels(p, data), **p.get("contourf_kwargs", {})}
+        cf = ax.contourf(xc, yc, data.T, **kw)
+        _add_colorbar(fig, ax, cf, p)
 
 
 class Quiver(Drawer):
@@ -73,10 +160,33 @@ class Quiver(Drawer):
         self._grid = grid
 
     def __call__(self, state, fig, ax):
-        u, v = self._rx(state), self._ry(state)
-        xc = _axis_coords(self._grid, "x")
-        yc = _axis_coords(self._grid, "y")
-        ax.quiver(xc, yc, u.T, v.T, **self.properties.get("quiver_kwargs", {}))
+        p = self.properties
+        u, v = np.asarray(self._rx(state)), np.asarray(self._ry(state))
+        xc = _axis_scaled(p, "x", _axis_coords(self._grid, "x"))
+        yc = _axis_scaled(p, "y", _axis_coords(self._grid, "y"))
+        sx = p.get("x_step", 1)
+        sy = p.get("y_step", 1)
+        kw = dict(p.get("quiver_kwargs", {}))
+        for src, dst in (
+            ("arrow_scale", "scale"),
+            ("arrow_scale_units", "scale_units"),
+            ("arrow_headwidth", "headwidth"),
+            ("cmap_name", "cmap"),
+        ):
+            if src in p:
+                kw.setdefault(dst, p[src])
+        q = ax.quiver(
+            xc[::sx], yc[::sy], u[::sx, ::sy].T, v[::sx, ::sy].T, **kw
+        )
+        if p.get("quiverkey_on", False):
+            ax.quiverkey(
+                q,
+                *p.get("quiverkey_loc", (0.85, 1.03)),
+                p.get("quiverkey_length", 1.0),
+                p.get("quiverkey_label", ""),
+                labelpos=p.get("quiverkey_label_loc", "E"),
+                color=p.get("quiverkey_color", None),
+            )
 
 
 class LineProfile(Drawer):
@@ -89,9 +199,11 @@ class LineProfile(Drawer):
         self._field_name = field_name
 
     def __call__(self, state, fig, ax):
-        data = self._retriever(state)
+        p = self.properties
+        data = _field_scaled(p, self._retriever(state))
         coords = _axis_coords(self._grid, self._axis, self._field_name)
-        kw = self.properties.get("line_kwargs", {})
+        coords = _axis_scaled(p, "x" if self._axis != "z" else "y", coords)
+        kw = _line_kwargs(p)
         if self._axis == "z":
             ax.plot(data, coords[: data.shape[0]], **kw)
         else:
@@ -107,9 +219,12 @@ class TimeSeries(Drawer):
         self._times, self._values = [], []
 
     def __call__(self, state, fig, ax):
+        p = self.properties
         self._times.append(state.get("time"))
-        self._values.append(float(np.asarray(self._retriever(state))))
-        ax.plot(self._times, self._values, **self.properties.get("line_kwargs", {}))
+        self._values.append(
+            float(np.asarray(_field_scaled(p, self._retriever(state))))
+        )
+        ax.plot(self._times, self._values, **_line_kwargs(p))
 
 
 class HovmollerDiagram(Drawer):
@@ -123,16 +238,24 @@ class HovmollerDiagram(Drawer):
         self._slices, self._times = [], []
 
     def __call__(self, state, fig, ax):
-        self._slices.append(np.asarray(self._retriever(state)).ravel())
+        p = self.properties
+        self._slices.append(
+            np.asarray(_field_scaled(p, self._retriever(state))).ravel()
+        )
         self._times.append(state.get("time"))
         data = np.stack(self._slices, axis=1)
         coords = _axis_coords(self._grid, self._axis, self._field_name)
+        kw = dict(p.get("pcolormesh_kwargs", {}))
+        if "cmap_name" in p:
+            kw.setdefault("cmap", p["cmap_name"])
         cf = ax.pcolormesh(
             np.arange(len(self._times)),
             coords[: data.shape[0]],
             data,
-            **self.properties.get("pcolormesh_kwargs", {}),
+            **kw,
         )
+        if p.get("cbar_on", False):
+            _add_colorbar(fig, ax, cf, p)
 
 
 class CDF(Drawer):
@@ -144,9 +267,12 @@ class CDF(Drawer):
         self._retriever = DataRetriever(grid, field_name, field_units)
 
     def __call__(self, state, fig, ax):
-        vals = np.sort(np.asarray(self._retriever(state)).ravel())
+        p = self.properties
+        vals = np.sort(
+            np.asarray(_field_scaled(p, self._retriever(state))).ravel()
+        )
         cdf = np.arange(1, vals.size + 1) / vals.size
-        ax.plot(vals, cdf, **self.properties.get("line_kwargs", {}))
+        ax.plot(vals, cdf, **_line_kwargs(p))
 
 
 class Line(Drawer):
@@ -158,4 +284,9 @@ class Line(Drawer):
         self._x, self._y = np.asarray(x_data), np.asarray(y_data)
 
     def __call__(self, state, fig, ax):
-        ax.plot(self._x, self._y, **self.properties.get("line_kwargs", {}))
+        p = self.properties
+        ax.plot(
+            _axis_scaled(p, "x", self._x),
+            _axis_scaled(p, "y", self._y),
+            **_line_kwargs(p),
+        )

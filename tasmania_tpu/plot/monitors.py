@@ -1,9 +1,18 @@
 """Plot monitors: one-axes and composite figures
-(reference ``src/tasmania/plot/monitors.py:60,288``)."""
+(reference ``src/tasmania/plot/monitors.py:60,288``).
+
+``figure_properties`` / ``axes_properties`` go through the full property
+engine (``plot/properties.py``, the reference's ``plot_utils.py:216,378``
+keyword surface)."""
 
 from __future__ import annotations
 
 from typing import Any, Mapping, Optional, Sequence
+
+from tasmania_tpu.plot.properties import (
+    set_axes_properties,
+    set_figure_properties,
+)
 
 
 class Plot:
@@ -39,17 +48,8 @@ class Plot:
             )
         for drawer in self._drawers:
             drawer(state, fig, ax)
-        ap = self.axes_properties
-        if "title" in ap:
-            ax.set_title(ap["title"])
-        if "x_label" in ap:
-            ax.set_xlabel(ap["x_label"])
-        if "y_label" in ap:
-            ax.set_ylabel(ap["y_label"])
-        if "x_lim" in ap:
-            ax.set_xlim(ap["x_lim"])
-        if "y_lim" in ap:
-            ax.set_ylim(ap["y_lim"])
+        set_axes_properties(ax, self.axes_properties)
+        set_figure_properties(fig, self.figure_properties)
         if save_dest:
             fig.savefig(save_dest, dpi=self.figure_properties.get("dpi", 100))
         if show and self._interactive:
@@ -93,6 +93,7 @@ class PlotComposite:
         axes_flat = getattr(axes, "flat", [axes])
         for artist, ax, state in zip(self._artists, axes_flat, states):
             artist.store(state, fig=fig, ax=ax)
+        set_figure_properties(fig, self.figure_properties)
         if save_dest:
             fig.savefig(save_dest, dpi=self.figure_properties.get("dpi", 100))
         if show and self._interactive:

@@ -252,3 +252,153 @@ def test_periodic_bc_topology_equivalence():
         np.testing.assert_array_equal(
             results[(1, 1)][k], results[(4, 2)][k], err_msg=k
         )
+
+
+# --------------------------------------------------------------------------- #
+# dirichlet BCs: windowed core evaluation + documented exclusions              #
+# (VERDICT r2 item 8)                                                          #
+# --------------------------------------------------------------------------- #
+
+
+def _coordinate_core(time, grid, slice_x=None, slice_y=None, field_name=None,
+                     field_units=None):
+    """Nontrivial time-independent core: values depend on the GLOBAL indices,
+    so any windowing mistake shows up as a mismatch."""
+    nx = grid.nx
+    i = np.arange(nx + 1)[slice_x][:, None]
+    j = np.arange(grid.ny + 1)[slice_y][None, :]
+    base = 0.01 * i + 0.003 * j
+    if field_name and "momentum" in field_name:
+        return 10.0 + base
+    if field_name and "velocity" in field_name:
+        return 1.0 + 0.1 * base
+    return 5.0 + base  # density-scaled fields
+
+
+def test_dirichlet_core_distributed_bitwise():
+    """Dry dycore under dirichlet BCs with a global-coordinate core: the
+    distributed run (core evaluated host-side over global bands, windowed per
+    shard) is bitwise equal to single-device."""
+    from tasmania_tpu.domain import Domain
+    from tasmania_tpu.isentropic import (
+        IsentropicDynamicalCore,
+        get_isentropic_state_from_brunt_vaisala_frequency,
+    )
+
+    nx = ny = 16
+    nz = 6
+    domain = Domain(
+        (0.0, 1e5),
+        nx,
+        (0.0, 1e5),
+        ny,
+        FieldArray(np.array([400.0, 300.0]), "K", ("z",)),
+        nz,
+        horizontal_boundary_type="dirichlet",
+        nb=3,
+        horizontal_boundary_kwargs={"core": _coordinate_core},
+    )
+    state = get_isentropic_state_from_brunt_vaisala_frequency(
+        domain.numerical_grid,
+        datetime(2000, 1, 1),
+        FieldArray(np.asarray(12.0), "m s^-1", ()),
+        FieldArray(np.asarray(2.0), "m s^-1", ()),
+        FieldArray(np.asarray(0.01), "s^-1", ()),
+        moist=False,
+    )
+    domain.horizontal_boundary.reference_state = state
+    pt = FieldArray(
+        np.asarray(
+            float(np.asarray(state["air_pressure_on_interface_levels"].data)[0, 0, 0])
+        ),
+        "Pa",
+        (),
+    )
+
+    def factory(dom):
+        core = IsentropicDynamicalCore(
+            dom,
+            moist=False,
+            time_integration_scheme="rk3ws_si",
+            horizontal_flux_scheme="fifth_order_upwind",
+            time_integration_properties={"pt": pt, "eps": 0.5},
+            damp=False,
+            smooth=False,
+        )
+        return core, None
+
+    dycore, _ = factory(domain)
+    names = sorted(k for k in state if k != "time")
+    units = {k: state[k].units for k in names}
+    dims = {k: state[k].dims for k in names}
+    hs = jnp.zeros((nx, ny), dtype=np.float64)
+
+    def sd_step(fields, hs_t):
+        st = {k: FieldArray(v, units[k], dims[k]) for k, v in fields.items()}
+        st["topography_height"] = FieldArray(hs_t, "m", ("x", "y"))
+        st = dycore(st, {}, 10.0)
+        return {k: st[k].data for k in names}
+
+    fields_sd = {k: jnp.asarray(state[k].data) for k in names}
+    sd_jit = jax.jit(sd_step)
+    for _ in range(2):
+        fields_sd = sd_jit(dict(fields_sd), hs)
+
+    mesh = make_mesh(jax.devices()[:8], shape=(4, 2))
+    dm = DistributedModel(domain, state, mesh, factory, 10.0)
+    fields_d = dm.scatter_state(state)
+    for _ in range(2):
+        fields_d = dm.step(fields_d, dm.put_topography(hs))
+
+    for k in dm._names:
+        a = np.asarray(fields_sd[k])
+        sx, sy, _ = field_stagger_axes(k)
+        if sx:
+            a = a[:-1]
+        if sy:
+            a = a[:, :-1]
+        np.testing.assert_array_equal(a, np.asarray(fields_d[k]), err_msg=k)
+
+
+def test_dirichlet_time_dependent_core_raises():
+    """A core returning traced jax arrays is single-device-only: the
+    distributed build fails loudly at set_reference_state."""
+
+    def jax_core(time, grid, slice_x=None, slice_y=None, field_name=None,
+                 field_units=None):
+        i = jnp.arange(grid.nx + 1)[slice_x][:, None]
+        j = jnp.arange(grid.ny + 1)[slice_y][None, :]
+        return 1.0 * i + 0.1 * j
+
+    domain, state, factory = _dry_setup("dirichlet")
+    domain.horizontal_boundary._kwargs["core"] = jax_core
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    with pytest.raises(NotImplementedError, match="time-dependent Dirichlet"):
+        DistributedModel(domain, state, mesh, factory, 10.0)
+
+
+def test_one_dimensional_grid_raises():
+    """1-D grids are single-device-only: construction fails loudly."""
+    from tasmania_tpu.domain import Domain
+
+    domain = Domain(
+        (0.0, 1e5),
+        16,
+        (0.0, 1.0),
+        1,
+        FieldArray(np.array([400.0, 300.0]), "K", ("z",)),
+        4,
+        horizontal_boundary_type="identity",
+        nb=3,
+    )
+    from tasmania_tpu.parallel.distributed import DistributedBoundary
+    from tasmania_tpu.parallel.mesh import CartesianDecomposition
+
+    # a 1-D extent also can't satisfy block >= nb; the boundary-level check
+    # is reached with nb=0 in the decomposition
+    mesh = make_mesh(jax.devices()[:4], shape=(4, 1))
+    with pytest.raises(AssertionError, match="smaller than halo width"):
+        CartesianDecomposition(16, 1, mesh, 3)
+    decomp = CartesianDecomposition(16, 1, mesh, 0)
+    with pytest.raises(AssertionError, match="1-D grids"):
+        DistributedBoundary(domain, decomp)

@@ -200,3 +200,61 @@ class TestVelocityAndWater:
         np.testing.assert_allclose(
             np.asarray(q2), np.maximum(np.asarray(q), 0.0), atol=1e-12
         )
+
+
+# --------------------------------------------------------------------------- #
+# suite-harness coverage (tests/suites.py; VERDICT r2 item 7): the isentropic  #
+# TendencyComponent wrapper over the diffusion dwarf                           #
+# --------------------------------------------------------------------------- #
+
+from suites import BACKENDS, ComponentTestSuite, DomainSuite  # noqa: E402
+from tasmania_tpu.isentropic.physics import (  # noqa: E402
+    IsentropicHorizontalDiffusion,
+)
+
+
+class _DiffusionSuite(ComponentTestSuite):
+    def __init__(self, ds, component, nb):
+        super().__init__(ds, component)
+        self.nb = nb
+
+    def reference_call(self, raw):
+        g = self.ds.grid
+        dx = float(np.asarray(g.dx.to_units("m").data))
+        dy = float(np.asarray(g.dy.to_units("m").data))
+        nb = self.nb
+
+        def lap(p):
+            out = np.zeros_like(p)
+            out[nb:-nb, nb:-nb] = (
+                p[nb - 1 : -nb - 1, nb:-nb]
+                - 2 * p[nb:-nb, nb:-nb]
+                + p[nb + 1 : -nb + 1, nb:-nb]
+            ) / dx**2 + (
+                p[nb:-nb, nb - 1 : -nb - 1]
+                - 2 * p[nb:-nb, nb:-nb]
+                + p[nb:-nb, nb + 1 : -nb + 1]
+            ) / dy**2
+            return out
+
+        return (
+            {
+                "air_isentropic_density": lap(raw["air_isentropic_density"]),
+                "x_momentum_isentropic": lap(raw["x_momentum_isentropic"]),
+                "y_momentum_isentropic": lap(raw["y_momentum_isentropic"]),
+            },
+            {},
+        )
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize("with_out", [False, True])
+def test_isentropic_diffusion_suite(backend, with_out):
+    ds = DomainSuite(np.random.default_rng(13), nb=2, backend=backend)
+    comp = IsentropicHorizontalDiffusion(
+        ds.domain,
+        "second_order",
+        diffusion_coeff=FieldArray(np.asarray(1.0), "s^-1", ()),
+    )
+    suite = _DiffusionSuite(ds, comp, nb=2)
+    suite.run_tendency(atol=1e-9, with_out=with_out)

@@ -124,3 +124,48 @@ def test_horizontal_diffusion_wrapper(domain):
     )
     # diffusion of a noisy field is non-trivial in the interior
     assert np.abs(np.asarray(tends["air_isentropic_density"].data))[3:-3, 3:-3].max() > 0
+
+
+# --------------------------------------------------------------------------- #
+# suite-harness coverage (tests/suites.py; VERDICT r2 item 7)                  #
+# --------------------------------------------------------------------------- #
+
+from suites import BACKENDS, ComponentTestSuite, DomainSuite  # noqa: E402
+from tasmania_tpu.isentropic.physics import IsentropicConservativeCoriolis  # noqa: E402
+
+
+class _CoriolisSuite(ComponentTestSuite):
+    def __init__(self, ds, component, f, nb):
+        super().__init__(ds, component)
+        self.f = f
+        self.nb = nb
+
+    def reference_call(self, raw):
+        su = raw["x_momentum_isentropic"]
+        sv = raw["y_momentum_isentropic"]
+        nb = self.nb
+
+        def frame_zero(a):
+            out = np.zeros_like(a)
+            out[nb:-nb, nb:-nb] = a[nb:-nb, nb:-nb]
+            return out
+
+        return (
+            {
+                "x_momentum_isentropic": frame_zero(self.f * sv),
+                "y_momentum_isentropic": frame_zero(-self.f * su),
+            },
+            {},
+        )
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize("with_out", [False, True])
+def test_coriolis_suite(backend, with_out):
+    ds = DomainSuite(np.random.default_rng(6), nb=2, backend=backend)
+    f = 7.3e-5
+    comp = IsentropicConservativeCoriolis(
+        ds.domain, "numerical", coriolis_parameter=f
+    )
+    suite = _CoriolisSuite(ds, comp, f, nb=2)
+    suite.run_tendency(with_out=with_out)

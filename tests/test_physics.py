@@ -241,3 +241,73 @@ class TestIsentropicPhysics:
         _, diags = iva(st, timedelta(seconds=5))
         s_new = np.asarray(diags["air_isentropic_density"].data)
         assert np.isfinite(s_new).all()
+
+
+# --------------------------------------------------------------------------- #
+# suite-harness coverage (tests/suites.py; VERDICT r2 item 7): backend sweep,  #
+# out-buffer call path, staggered inputs                                       #
+# --------------------------------------------------------------------------- #
+
+from suites import BACKENDS, ComponentTestSuite, DomainSuite  # noqa: E402
+
+
+class _FallVelocitySuite(ComponentTestSuite):
+    def reference_call(self, raw):
+        rho = raw["air_density"]
+        qr = raw["mass_fraction_of_precipitation_water_in_air"]
+        rho_s = rho[:, :, -1:]
+        vt = (
+            36.34
+            * (1.0e-3 * rho * np.where(qr > 0.0, qr, 0.0)) ** 0.1346
+            * (rho_s / rho) ** 0.5
+        )
+        return {"raindrop_fall_velocity": vt}
+
+
+class _DryStaticEnergySuite(ComponentTestSuite):
+    """height_on_interface_levels is z-staggered (nz+1): exercises the
+    staggered-shape state construction."""
+
+    def reference_call(self, raw):
+        t = raw["air_temperature"]
+        h_if = raw["height_on_interface_levels"]
+        assert h_if.shape[2] == t.shape[2] + 1
+        h = 0.5 * (h_if[:, :, :-1] + h_if[:, :, 1:])
+        return {"montgomery_potential": 1004.0 * t + 9.80665 * h}
+
+
+class _MoistStaticEnergySuite(ComponentTestSuite):
+    def reference_call(self, raw):
+        return {
+            "moist_static_energy": raw["montgomery_potential"]
+            + 2.5e6 * raw["mass_fraction_of_water_vapor_in_air"]
+        }
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize("with_out", [False, True])
+def test_fall_velocity_suite(backend, with_out):
+    ds = DomainSuite(np.random.default_rng(3), backend=backend)
+    suite = _FallVelocitySuite(ds, KesslerFallVelocity(ds.domain, "numerical"))
+    suite.run_diagnostic(with_out=with_out)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize("with_out", [False, True])
+def test_dry_static_energy_suite(backend, with_out):
+    from tasmania_tpu.physics import DryStaticEnergy
+
+    ds = DomainSuite(np.random.default_rng(4), backend=backend)
+    suite = _DryStaticEnergySuite(
+        ds, DryStaticEnergy(ds.domain, "numerical")
+    )
+    suite.run_diagnostic(with_out=with_out)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_moist_static_energy_suite(backend):
+    from tasmania_tpu.physics import MoistStaticEnergy
+
+    ds = DomainSuite(np.random.default_rng(5), backend=backend)
+    suite = _MoistStaticEnergySuite(ds, MoistStaticEnergy(ds.domain, "numerical"))
+    suite.run_diagnostic()

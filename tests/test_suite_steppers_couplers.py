@@ -414,3 +414,52 @@ def test_isentropic_prognostic_vs_numpy_rederivation(scheme, fracs, data):
     np.testing.assert_allclose(
         np.asarray(out["y_momentum_isentropic"]), sv_i, rtol=1e-9
     )
+
+
+# --------------------------------------------------------------------------- #
+# stepper suites x NON-IDENTITY boundaries (exercises _post_stage enforcement  #
+# at every RK stage, framework/steppers.py:123-133; VERDICT r2 item 7)         #
+# --------------------------------------------------------------------------- #
+
+from suites import (  # noqa: E402
+    DomainSuite,
+    SequentialTendencyStepperTestSuite,
+    TendencyStepperTestSuite,
+)
+
+
+@pytest.mark.parametrize(
+    "boundary", ["identity", "periodic", "relaxed", "dirichlet"]
+)
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
+@pytest.mark.parametrize("scheme", ["forward_euler", "rk2", "rk2sa", "rk3ws"])
+def test_tendency_stepper_enforces_boundaries(scheme, backend, boundary):
+    rng = np.random.default_rng(hash((scheme, backend, boundary)) % 2**32)
+    ds = DomainSuite(
+        rng, boundary_type=boundary, nb=2, backend=backend, nz_range=(1, 4)
+    )
+    a = float(rng.uniform(-0.5, 0.5))
+    suite = TendencyStepperTestSuite(
+        ds,
+        lambda dom: Quadratic(dom, a, backend=backend),
+        lambda p: a * p * p,
+        enforce_hb=True,
+    )
+    suite.run(scheme, dt_s=float(rng.uniform(0.1, 10.0)))
+
+
+@pytest.mark.parametrize(
+    "boundary", ["identity", "periodic", "relaxed", "dirichlet"]
+)
+@pytest.mark.parametrize("scheme", ["forward_euler", "rk2", "rk3ws"])
+def test_sts_stepper_enforces_boundaries(scheme, boundary):
+    rng = np.random.default_rng(hash((scheme, boundary, 7)) % 2**32)
+    ds = DomainSuite(rng, boundary_type=boundary, nb=2, nz_range=(1, 4))
+    a = float(rng.uniform(-0.5, 0.5))
+    suite = SequentialTendencyStepperTestSuite(
+        ds,
+        lambda dom: Quadratic(dom, a),
+        lambda p: a * p * p,
+        enforce_hb=True,
+    )
+    suite.run(scheme, dt_s=float(rng.uniform(0.1, 10.0)))
