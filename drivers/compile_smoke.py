@@ -192,7 +192,33 @@ def smoke_vertical_advection():
     return outs
 
 
+def smoke_si_stage():
+    from tasmania_tpu.ops.si_stage import fused_si_stage
+
+    u = _f((NX + 1, NY, NZ), 100)
+    v = _f((NX, NY + 1, NZ), 101)
+    s = _f((NX, NY, NZ), 102, 5.0, 10.0)
+    si = _f((NX, NY, NZ), 103, 5.0, 10.0)
+    qn = tuple(_f((NX, NY, NZ), 104 + i, 0.0, 1e-3) for i in range(3))
+    qi = tuple(_f((NX, NY, NZ), 107 + i, 0.0, 1e-3) for i in range(3))
+    su, sv = _f((NX, NY, NZ), 110), _f((NX, NY, NZ), 111)
+    sui, svi = _f((NX, NY, NZ), 112), _f((NX, NY, NZ), 113)
+    mtg = _f((NX, NY, NZ), 114, 1e5, 3e5)
+    hs = _f((NX, NY), 115, 0.0, 500.0)
+    theta = jnp.linspace(400.0, 280.0, NZ + 1, dtype=jnp.float32)[None, :]
+    gamma = jnp.zeros((NX, NY), jnp.float32).at[:6].set(0.5).at[-6:].set(0.5)
+    rmat = jnp.zeros((1, NZ), jnp.float32).at[:, :15].set(0.05)
+    return fused_si_stage(
+        u, v, s, si, qn, qi, su, sv, sui, svi, mtg, hs, theta, gamma,
+        si, su, sv, qn, rmat,
+        order=5, nb=NB, nr=6, dt=DT, dtf=DT, dx=DX, dy=DY, eps=0.5,
+        pt=2000.0, dz=1.0, g=9.80665, cp=1004.0, rd=287.05, pref=1.0e5,
+        nq=3, do_damp=True, dd=15,
+    )
+
+
 SMOKES = {
+    "si_stage(order=5,moist,bc,damp)": smoke_si_stage,
     "advection_fields(order=5,moist,bc)": smoke_advection_fields,
     "momentum_step(order=5)": smoke_momentum_step,
     "momentum_epilogue(order=5,moist,bc,damp)": smoke_momentum_epilogue,

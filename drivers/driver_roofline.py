@@ -42,19 +42,30 @@ def _mk(key, *shape, lo=0.5, hi=1.5):
 
 
 def time_loop(make_step, carry0, nt):
-    """ms/call of ``carry = make_step(carry)`` under one in-jit fori_loop."""
+    """ms/call of ``carry = make_step(carry)`` under one in-jit fori_loop.
+
+    Slope-based: time the loop at nt and 2*nt and divide the DIFFERENCE by
+    nt — the fixed per-dispatch cost of the axon tunnel (~20 ms RPC round
+    trip) cancels exactly instead of inflating cheap kernels (it dominated
+    the copy case at nt=200: 28 ms total of which most was overhead,
+    reading as a 175 GB/s "roofline" with kernels at 200% of it)."""
 
     def loop(c0, n):
         return jax.lax.fori_loop(0, n, lambda i, c: make_step(c), c0)
 
     loop_c = jax.jit(loop, static_argnums=(1,))
     probe = jax.jit(lambda x: jnp.sum(x))
-    out = loop_c(carry0, nt)  # warm up the exact program
-    float(probe(out))
-    t0 = time.perf_counter()
-    out = loop_c(carry0, nt)
-    float(probe(out))
-    return (time.perf_counter() - t0) / nt * 1e3
+
+    def run(n):
+        t0 = time.perf_counter()
+        float(probe(loop_c(carry0, n)))
+        return time.perf_counter() - t0
+
+    run(nt)  # warm up both programs (the n=2nt loop shares the trace cache
+    run(2 * nt)  # only if jit re-specializes; warm each explicitly)
+    t1 = min(run(nt), run(nt))
+    t2 = min(run(2 * nt), run(2 * nt))
+    return max(t2 - t1, 1e-9) / nt * 1e3
 
 
 def _bytes(*arrays):
@@ -151,6 +162,18 @@ def build_cases():
         diag, s, _bytes(s, hs) + diag_out_bytes
     )
 
+    def mtg_only(c):
+        return fused_isentropic_diagnostics(
+            c, hs, theta,
+            pt=2000.0, dz=1.0, g=9.80665, cp=1004.0, rd=287.05,
+            pref=1.0e5, mode="mtg",
+        )
+
+    # runs 3x/step (one per SI stage): s in, mtg out
+    cases["montgomery(per-stage scan)"] = (
+        mtg_only, s, _bytes(s, hs) + s.nbytes
+    )
+
     def vadv(c):
         outs = fused_vertical_advection_rk3ws(
             w, c, su, sv, qn[0], qn[1], qn[2], order=3, dt=DT, dz=1.0
@@ -228,11 +251,16 @@ def main():
 
     cases, s = build_cases()
 
-    # the roofline: practical copy bandwidth in the SAME harness
-    copy_ms = time_loop(lambda c: c + 1.0, s, cli.nt)
-    hbm_gbs = 2 * s.nbytes / (copy_ms * 1e-3) / 1e9
+    # the roofline: practical copy bandwidth in the SAME harness.  The copy
+    # carry must NOT fit in VMEM (v5e: 128 MB), or XLA keeps it resident
+    # across the fori_loop and the "copy" never touches HBM (measured
+    # 1547 GB/s — above the chip's 819 GB/s spec — with a 12 MB carry);
+    # stream ~200 MB so the loop is honestly HBM-bound.
+    big = _mk(99, 16 * NX, NY, NZ)
+    copy_ms = time_loop(lambda c: c + 1.0, big, max(cli.nt // 4, 10))
+    hbm_gbs = 2 * big.nbytes / (copy_ms * 1e-3) / 1e9
     print(f"practical HBM copy bandwidth: {hbm_gbs:6.1f} GB/s "
-          f"({copy_ms:.3f} ms for r+w of {s.nbytes/1e6:.0f} MB)\n")
+          f"({copy_ms:.3f} ms for r+w of {big.nbytes/1e6:.0f} MB)\n")
     print(f"{'kernel':40s} {'ms':>8s} {'GB/s':>7s} {'ideal':>7s} {'%roof':>6s}")
 
     rows = {}

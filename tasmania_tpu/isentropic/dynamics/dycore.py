@@ -215,7 +215,12 @@ class IsentropicDynamicalCore(DynamicalCore):
         )
         rmat = None
         if do_damp:
-            rmat = jnp.asarray(
+            import numpy as np
+
+            # keep rmat HOST-side (numpy): the whole-stage path derives the
+            # damp depth from its nonzero support at trace time, which a
+            # traced constant (jnp.asarray under jit) would forbid
+            rmat = np.asarray(
                 self._damper._rmat[False][0, :, : self.grid.nz],
                 dtype=raw_state["air_isentropic_density"].dtype,
             )

@@ -280,6 +280,106 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         ] + ([mfwv, mfcw, mfpw] if self._moist else [])
         return all(n in ref for n in names)
 
+    def _supports_stage_v2(self, state, tendencies) -> bool:
+        """The single-kernel whole-stage path (``ops/si_stage``): no dycore
+        tendencies (the SUS/STS/PS benchmark variants pass none), and a grid
+        large enough for the W1 = TX+2 Montgomery window and the 8-row
+        y-band reference strips."""
+        import os
+
+        if os.environ.get("TASMANIA_FUSE_STAGE", "1") != "2":
+            return False
+        if tendencies:
+            return False
+        s = state["air_isentropic_density"]
+        nb = self.horizontal_boundary.nb
+        return s.shape[0] - 2 * nb >= 4 and s.shape[1] >= 16
+
+    def stage_call_fused_v2(
+        self, stage, timestep, state, tendencies, *, rmat=None, dtf=None
+    ):
+        """One SI stage in ONE Pallas kernel (``ops/si_stage.fused_si_stage``):
+        advection + in-VMEM Montgomery + momentum + the full epilogue; bitwise
+        vs ``stage_call_fused_epilogue`` (tests/test_si_stage.py)."""
+        import jax.numpy as jnp
+
+        from tasmania_tpu.ops.si_stage import fused_si_stage
+
+        if stage == 0:
+            self._capture_now(state)
+        fracs = self.substep_fractions
+        frac = fracs[stage] if isinstance(fracs, tuple) else fracs
+        dt = frac * timestep
+        hb = self.horizontal_boundary
+        nb = hb.nb
+        nr = int(hb._kwargs.get("nr", 8))
+        dx, dy = self._grid_spacings()
+        dtype = state["air_isentropic_density"].dtype
+        gamma, refs = self._relaxed_consts(dtype)
+        dia = self._diagnostics
+        hs3 = dia._hs(jnp, dtype, state.get("topography_height"))
+        theta = jnp.asarray(dia._theta[0], dtype=dtype)
+        nz = state["air_isentropic_density"].shape[2]
+
+        do_damp = rmat is not None
+        if do_damp:
+            rm_np = np.asarray(rmat)
+            nzr = np.nonzero(rm_np[0])[0]
+            dd = int(nzr[-1]) + 1 if nzr.size else 1
+            rm = jnp.asarray(rmat, dtype=dtype)
+        else:
+            dd = 1
+            rm = jnp.zeros((1, nz), dtype)
+
+        q_names = (mfwv, mfcw, mfpw) if self._moist else ()
+        outs = fused_si_stage(
+            state["x_velocity_at_u_locations"],
+            state["y_velocity_at_v_locations"],
+            self._now["air_isentropic_density"],
+            state["air_isentropic_density"],
+            tuple(self._now[q] for q in q_names),
+            tuple(state[q] for q in q_names),
+            self._now["x_momentum_isentropic"],
+            self._now["y_momentum_isentropic"],
+            state["x_momentum_isentropic"],
+            state["y_momentum_isentropic"],
+            self._now["montgomery_potential"],
+            hs3[:, :, 0],
+            theta,
+            gamma,
+            refs["air_isentropic_density"],
+            refs["x_momentum_isentropic"],
+            refs["y_momentum_isentropic"],
+            tuple(refs[q] for q in q_names),
+            rm,
+            order=self._hflux.order,
+            nb=nb,
+            nr=nr,
+            dt=float(dt),
+            dtf=float(dtf if dtf is not None else timestep),
+            dx=dx,
+            dy=dy,
+            eps=self._eps,
+            pt=self._pt,
+            dz=dia._dz,
+            g=dia.rpc["gravitational_acceleration"],
+            cp=dia.rpc["specific_heat_of_dry_air_at_constant_pressure"],
+            rd=dia.rpc["gas_constant_of_dry_air"],
+            pref=dia.rpc["air_pressure_at_sea_level"],
+            nq=len(q_names),
+            do_damp=do_damp,
+            dd=dd,
+            interpret=self._backend == "pallas:interpret",
+        )
+        result = {
+            "air_isentropic_density": outs[0],
+            "x_momentum_isentropic": outs[1],
+            "y_momentum_isentropic": outs[2],
+        }
+        for k, n in enumerate(q_names):
+            result[n] = outs[3 + k]
+        return result
+
     def stage_call_fused_epilogue(
         self, stage, timestep, state, tendencies, *, rmat=None, dtf=None
     ):
@@ -293,6 +393,10 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
 
         from tasmania_tpu.ops.advection_step import fused_momentum_epilogue
 
+        if self._supports_stage_v2(state, tendencies):
+            return self.stage_call_fused_v2(
+                stage, timestep, state, tendencies, rmat=rmat, dtf=dtf
+            )
         if stage == 0:
             self._capture_now(state)
         fracs = self.substep_fractions

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tasmania_tpu.ops.advection_step import _pick_tile
+from tasmania_tpu.ops.advection_step import _clamp_start, _pick_tile
 
 
 @functools.partial(
@@ -38,7 +38,7 @@ def _smag_stage(
     assert nb >= H
     NXI = nx - 2 * nb
     TX = _pick_tile(NXI, tile_x)
-    grid = (NXI // TX,)
+    grid = (pl.cdiv(NXI, TX),)
     jin = slice(nb, ny - nb)
 
     def kernel(s_ref, sus_ref, svs_ref, sub_ref, svb_ref, osu_ref, osv_ref):
@@ -85,12 +85,12 @@ def _smag_stage(
 
     in_spec_h = pl.BlockSpec(
         (pl.Element(TX + 2 * H), pl.Element(ny), pl.Element(nz)),
-        lambda ix: (nb - H + ix * TX, 0, 0),
+        lambda ix: (nb - H + _clamp_start(ix, TX, NXI), 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
         (pl.Element(TX), pl.Element(ny), pl.Element(nz)),
-        lambda ix: (nb + ix * TX, 0, 0),
+        lambda ix: (nb + _clamp_start(ix, TX, NXI), 0, 0),
         memory_space=pltpu.VMEM,
     )
     osu, osv = pl.pallas_call(

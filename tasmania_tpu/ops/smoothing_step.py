@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tasmania_tpu.ops.advection_step import _pick_tile
+from tasmania_tpu.ops.advection_step import _clamp_start, _pick_tile
 
 _CW_2D = {1: 1.0, 2: 0.75, 3: 0.625}
 _WEIGHTS = {
@@ -66,7 +66,7 @@ def fused_smoothing(
     assert nb >= n, f"nb={nb} must be >= smoothing order {n}"
     NXI = nx - 2 * nb
     TX = _pick_tile(NXI, tile_x)
-    grid = (NXI // TX,)
+    grid = (pl.cdiv(NXI, TX),)
     cw = _CW_2D[order]
     weights = _WEIGHTS[order]
     jin = slice(nb, ny - nb)
@@ -92,7 +92,7 @@ def fused_smoothing(
 
     in_spec = pl.BlockSpec(
         (pl.Element(TX + 2 * n), pl.Element(ny), pl.Element(nz)),
-        lambda ix: (nb - n + ix * TX, 0, 0),
+        lambda ix: (nb - n + _clamp_start(ix, TX, NXI), 0, 0),
         memory_space=pltpu.VMEM,
     )
     # full-size FRESH outputs (no input aliasing: the read windows overlap
@@ -102,7 +102,7 @@ def fused_smoothing(
     # afterwards (in-place dynamic-update-slices on the dead buffer)
     out_spec = pl.BlockSpec(
         (pl.Element(TX), pl.Element(ny), pl.Element(nz)),
-        lambda ix: (nb + ix * TX, 0, 0),
+        lambda ix: (nb + _clamp_start(ix, TX, NXI), 0, 0),
         memory_space=pltpu.VMEM,
     )
     outs = pl.pallas_call(

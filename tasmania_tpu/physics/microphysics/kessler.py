@@ -382,7 +382,7 @@ class KesslerSedimentation(ImplicitTendencyComponent):
         if xp is np:
             tnd[:, :, nb:] = interior
         else:
-            tnd = tnd.at[:, :, nb:].set(interior)
+            tnd = tnd.at[:, :, nb:].set(interior.astype(tnd.dtype))
         return {mfpw: tnd}, {}
 
 
