@@ -29,10 +29,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# x-tile size of the fused kernels: 5 pipelines measurably better than 31
-# at the benchmark nx=161 (more grid steps to overlap DMA with compute;
-# drivers/bench_kernels.py) — overridable for tuning experiments
-_DEFAULT_TILE_X = int(os.environ.get("TASMANIA_TILE_X", "8"))
+# x-tile size of the fused kernels.  With clamped overlapping tiles the size
+# is free (no divisor constraint); measured on TPU v5e at the benchmark
+# nx=161 (drivers/tune_tile.py): TX=12 is the sweet spot (advection+epilogue
+# pair 0.839 ms vs 0.911 at 8, 0.915 at 20, 1.055 at the old divisor-bound 5);
+# TX>=24 exceeds the VMEM budget in the epilogue kernel — note the
+# (TX, ny, 1) gamma/hs windows pad their unit lane dim to 128, costing ~4 MB
+# of VMEM each.  Overridable for tuning experiments.
+_DEFAULT_TILE_X = int(os.environ.get("TASMANIA_TILE_X", "12"))
 
 
 def _flux_3rd(w_f, pm2, pm1, p0, pp1):

@@ -149,6 +149,7 @@ def fused_si_stage(
     theta_np = theta  # (1, nz+1)
 
     def kernel(*refs):
+        refs, pad_ref = refs[:-1], refs[-1]
         (u_ref, v_ref, sn_ref, si_ref) = refs[:4]
         pos = 4
         qn_refs = refs[pos : pos + nq]; pos += nq
@@ -175,19 +176,20 @@ def fused_si_stage(
         # --- density advection on the W1 window --------------------------- #
         # The nominal stencil window [t0-1-e, t0+TX+1+e) leaves the array by
         # exactly one column at the extreme tiles (when nb == e), so the
-        # fetched block starts at the clamped a0.  Pad the fetched window by
-        # one edge-duplicate column per side IN VMEM: every view start
-        # 1 + delta + k is then in-range — lax.dynamic_slice never clamps
-        # (clamping would SHIFT the whole view, corrupting every column, not
-        # just the masked frame column that consumes the duplicate values).
-        s_int_wp = jnp.concatenate(
-            [s_int_w[:1], s_int_w, s_int_w[-1:]], axis=0
-        )
+        # fetched block starts at the clamped a0.  Copy the window into a
+        # scratch ref padded by one edge-duplicate column per side: every
+        # view start 1 + delta + k is then in-range, and the views are
+        # dynamic REF reads (``pl.ds``) — Mosaic has no lowering for
+        # dynamic_slice on values, and a clamped slice would SHIFT the whole
+        # view, corrupting every column rather than just the masked frame
+        # column that consumes the duplicate values.
+        pad_ref[1 : HS + 1] = s_int_w
+        pad_ref[0:1] = s_int_w[:1]
+        pad_ref[HS + 1 : HS + 2] = s_int_w[-1:]
         xs = [
-            lax.dynamic_slice_in_dim(s_int_wp, 1 + delta + k, W1 + 1, axis=0)
-            for k in range(2 * e)
+            pad_ref[pl.ds(1 + delta + k, W1 + 1)] for k in range(2 * e)
         ]
-        ybase_s = lax.dynamic_slice_in_dim(s_int_wp, 1 + delta + e, W1, axis=0)
+        ybase_s = pad_ref[pl.ds(1 + delta + e, W1)]
         div_s = _div_from_views(order, dx, dy, nb, ny, uf, vf, xs, ybase_s)
         s_adv = s_now_w[:, jin] - dt * div_s
         s_res = jnp.concatenate(
@@ -294,9 +296,7 @@ def fused_si_stage(
 
         # --- water species ------------------------------------------------- #
         if nq:
-            s_int_q = lax.dynamic_slice_in_dim(
-                s_int_wp, 2 + delta, TX + 2 * e, axis=0
-            )
+            s_int_q = pad_ref[pl.ds(2 + delta, TX + 2 * e)]
             for k in range(nq):
                 sq_now = _clip_pos(s_now_t * qn_refs[k][:])
                 sq_int = _clip_pos(s_int_q * qi_refs[k][:])
@@ -391,6 +391,7 @@ def fused_si_stage(
         ),
         out_specs=[c_spec] * (3 + nq),
         out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), dtype)] * (3 + nq),
+        scratch_shapes=[pltpu.VMEM((HS + 2, ny, nz), dtype)],
         interpret=interpret,
     )(
         u, v, s_now, s_int, *q_now, *q_int, su_now, sv_now, su_int, sv_int,
