@@ -162,6 +162,26 @@ def build_cases():
         diag, s, _bytes(s, hs) + diag_out_bytes
     )
 
+    def si_stage(c):
+        from tasmania_tpu.ops.si_stage import fused_si_stage
+
+        outs = fused_si_stage(
+            u, v, c, si, qn, qi, su, sv, sui, svi, mtg, hs, theta, gamma,
+            si, su, sv, qn, rmat,
+            order=5, nb=NB, nr=6, dt=DT, dtf=DT, dx=DX, dy=DY, eps=0.5,
+            pt=2000.0, dz=1.0, g=9.80665, cp=1004.0, rd=287.05, pref=1.0e5,
+            nq=3, do_damp=True, dd=15,
+        )
+        return outs[0]
+
+    # whole stage: u, v, s_now(c), s_int, 3 q_now, 3 q_int, su/sv now+int,
+    # mtg_now in; band/slab refs ~0.2 sweeps; 6 outs
+    cases["si_stage(whole stage, 6f out)"] = (
+        si_stage, s,
+        _bytes(u, v, s, si, *qn, *qi, su, sv, sui, svi, mtg)
+        + int(0.2 * s.nbytes) + 6 * s.nbytes,
+    )
+
     def mtg_only(c):
         return fused_isentropic_diagnostics(
             c, hs, theta,

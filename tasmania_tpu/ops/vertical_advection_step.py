@@ -29,21 +29,24 @@ from jax.experimental.pallas import tpu as pltpu
 _EXTENT = {1: 1, 2: 1, 3: 2, 5: 3}
 
 
-def _vflux(order: int, wf, pw):
+def _vflux(order: int, wf, aw, bw, pw):
     """Vertical flux at interior interfaces; ``pw[k]`` is phi shifted by k
-    relative to the interface (k in -extent..extent-1)."""
+    relative to the interface (k in -extent..extent-1).  ``aw``/``bw`` are
+    the precomputed weight arrays wf/denom and |wf|/denom — shared by all
+    18 tendency evaluations of the RK3WS kernel (6 fields x 3 stages), so
+    the divide-by-denominator and abs happen once, not per call."""
     if order == 1:
         return wf * jnp.where(wf > 0.0, pw[0], pw[-1])
     if order == 2:
         return wf * 0.5 * (pw[0] + pw[-1])
     if order == 3:
-        return wf / 12.0 * (7.0 * (pw[-1] + pw[0]) - (pw[-2] + pw[1])) - jnp.abs(
-            wf
-        ) / 12.0 * (3.0 * (pw[-1] - pw[0]) - (pw[-2] - pw[1]))
+        return aw * (7.0 * (pw[-1] + pw[0]) - (pw[-2] + pw[1])) - bw * (
+            3.0 * (pw[-1] - pw[0]) - (pw[-2] - pw[1])
+        )
     if order == 5:
-        return wf / 60.0 * (
+        return aw * (
             37.0 * (pw[-1] + pw[0]) - 8.0 * (pw[-2] + pw[1]) + (pw[-3] + pw[2])
-        ) - jnp.abs(wf) / 60.0 * (
+        ) - bw * (
             10.0 * (pw[-1] - pw[0]) - 5.0 * (pw[-2] - pw[1]) + (pw[-3] - pw[2])
         )
     raise ValueError(f"unsupported vertical flux order {order}")
@@ -86,11 +89,15 @@ def fused_vertical_advection_rk3ws(
     NT = pl.cdiv(nx, TX)
     c1, c2, c3 = dt / 3.0, dt / 2.0, dt
 
-    def tendency_core(wm, phi):
+    denom = {3: 12.0, 5: 60.0}.get(order)
+
+    def tendency_core(wm, phi, aw=None, bw=None):
         # interface velocity on interior interfaces m in [e, nz+1-e)
         wf = 0.5 * (wm[..., e - 1 : nz - e] + wm[..., e : nz + 1 - e])
+        if aw is None and denom is not None:
+            aw, bw = wf / denom, jnp.abs(wf) / denom
         pw = {k: phi[..., e + k : nz + 1 - e + k] for k in range(-e, e)}
-        f = _vflux(order, wf, pw)
+        f = _vflux(order, wf, aw, bw, pw)
         return (f[..., 1:] - f[..., :-1]) / dz  # levels [e, nz-e)
 
     def padz(d):
@@ -107,14 +114,22 @@ def fused_vertical_advection_rk3ws(
         wm = w_r[:]
         s0, su0, sv0 = s_r[:], su_r[:], sv_r[:]
         q0 = (qv_r[:], qc_r[:], qr_r[:]) if moist else ()
+        # shared flux weights, computed once for all 18 tendency evaluations
+        wf_k = 0.5 * (wm[..., e - 1 : nz - e] + wm[..., e : nz + 1 - e])
+        aw_k = wf_k / denom if denom is not None else None
+        bw_k = jnp.abs(wf_k) / denom if denom is not None else None
 
         def stage(c, sx, sux, svx, qx):
-            s_new = s0 + c * padz(tendency_core(wm, sx))
-            su_new = su0 + c * padz(tendency_core(wm, sux))
-            sv_new = sv0 + c * padz(tendency_core(wm, svx))
-            s_in = sx[..., e : nz - e]
+            s_new = s0 + c * padz(tendency_core(wm, sx, aw_k, bw_k))
+            su_new = su0 + c * padz(tendency_core(wm, sux, aw_k, bw_k))
+            sv_new = sv0 + c * padz(tendency_core(wm, svx, aw_k, bw_k))
+            # one reciprocal per stage instead of one divide per species:
+            # the three q tendencies share the divisor (VPU divides are
+            # multi-pass; rtol 1e-6 vs the generic stepper absorbs the
+            # 1-ulp a*(1/b) vs a/b difference)
+            inv_s = 1.0 / sx[..., e : nz - e]
             q_new = tuple(
-                qb + c * padz(tendency_core(wm, sx * qx_i) / s_in)
+                qb + c * padz(tendency_core(wm, sx * qx_i, aw_k, bw_k) * inv_s)
                 for qb, qx_i in zip(q0, qx)
             )
             return s_new, su_new, sv_new, q_new
