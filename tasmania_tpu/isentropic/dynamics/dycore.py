@@ -227,11 +227,16 @@ class IsentropicDynamicalCore(DynamicalCore):
         out = self._prognostic.stage_call_fused_epilogue(
             stage, timestep, raw_state, raw_tendencies, rmat=rmat, dtf=timestep
         )
-        u_new, v_new = self._velocity_components.get_velocity_components(
-            out["air_isentropic_density"],
-            out["x_momentum_isentropic"],
-            out["y_momentum_isentropic"],
-        )
+        if "x_velocity_at_u_locations" in out:
+            # the whole-stage kernel diagnosed the velocities in VMEM
+            u_new = out["x_velocity_at_u_locations"]
+            v_new = out["y_velocity_at_v_locations"]
+        else:
+            u_new, v_new = self._velocity_components.get_velocity_components(
+                out["air_isentropic_density"],
+                out["x_momentum_isentropic"],
+                out["y_momentum_isentropic"],
+            )
         u_new = hb.set_outermost_layers_x(
             u_new, "x_velocity_at_u_locations", "m s^-1", time=None
         )

@@ -380,6 +380,15 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         }
         for k, n in enumerate(q_names):
             result[n] = outs[3 + k]
+        if len(outs) > 3 + len(q_names):
+            # with_velocities: the kernel also diagnosed the staggered
+            # velocities (outermost faces zero); the dycore uses them
+            # directly and applies set_outermost_layers_x/y.  Measured
+            # SLOWER than the XLA velocity pass at the benchmark size
+            # (5.23e8 vs 5.52e8 — BENCH_NOTES r3_negative_results), so the
+            # kernel default is off; kept behind the flag, fully tested.
+            result["x_velocity_at_u_locations"] = outs[3 + len(q_names)]
+            result["y_velocity_at_v_locations"] = outs[4 + len(q_names)]
         return result
 
     def stage_call_fused_epilogue(

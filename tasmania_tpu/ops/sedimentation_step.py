@@ -35,6 +35,13 @@ def _fall_velocity(rho, qr):
     )
 
 
+def _fall_velocity_weighted(mrho, wsq, qr):
+    """= ``_fall_velocity`` with the stage-invariant factors precomputed:
+    ``mrho = 1e-3 rho`` and ``wsq = 36.34 (rho_s/rho)^0.5`` — only the
+    qr-dependent power is evaluated per RK stage."""
+    return wsq * (mrho * jnp.where(qr > 0.0, qr, 0.0)) ** 0.1346
+
+
 def _dfdz(order: int, rho, h, q, vt):
     rqv = rho * q * vt
     if order == 1:
@@ -87,10 +94,18 @@ def fused_sedimentation_rk3ws(
         rhov = rho_r[:]
         h = 0.5 * (hif_r[..., :-1] + hif_r[..., 1:])
         q0 = qr_r[:]
+        # stage-invariant factors, hoisted out of the three RK evaluations:
+        # the sqrt-power, the 1e-3 scaling, and the divide become one
+        # evaluation each (the fall-velocity product order is unchanged, so
+        # vt is bit-identical to _fall_velocity up to multiplication
+        # reassociation of the constant 36.34 into the rho_s/rho term)
+        mrho = 1.0e-3 * rhov
+        wsq = 36.34 * (rhov[..., -1:] / rhov) ** 0.5
+        inv_rho = 1.0 / rhov[..., nb:]
 
         def tendency(qi):
-            vt = _fall_velocity(rhov, qi)
-            d = _dfdz(order, rhov, h, qi, vt) / rhov[..., nb:]
+            vt = _fall_velocity_weighted(mrho, wsq, qi)
+            d = _dfdz(order, rhov, h, qi, vt) * inv_rho
             z = jnp.zeros(d.shape[:-1] + (nb,), d.dtype)
             return jnp.concatenate([z, d], axis=-1), vt
 

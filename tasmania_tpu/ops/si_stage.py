@@ -1,8 +1,7 @@
 """Pallas TPU kernel: ONE whole semi-implicit stage of the isentropic core.
 
-Fuses, per x-tile in VMEM, everything the dycore does between reading the
-stage input and diagnosing velocities (reference call stack SURVEY.md §3.2:
-``rk3ws_si.py:105-231`` + ``dycore.py:766-842``):
+Fuses, per x-tile in VMEM, everything the dycore does in a stage (reference
+call stack SURVEY.md §3.2: ``rk3ws_si.py:105-231`` + ``dycore.py:766-842``):
 
   1. density (+ water-density) advection with the relaxed lateral BC
      (``subclasses/prognostics/utils.py:44 step_forward_euler``,
@@ -10,36 +9,41 @@ stage input and diagnosing velocities (reference call stack SURVEY.md §3.2:
   2. the Montgomery potential of the stepped, enforced density — the
      column-local hydrostatic/Exner scans expressed as triangular-matrix
      contractions on the MXU (``isentropic/dynamics/diagnostics.py:320-406``;
-     same recurrences as ``ops/diagnostics_step.py``) — computed on a
-     one-column-haloed window so the pressure-gradient x-derivative never
-     leaves VMEM;
+     same recurrences as ``ops/diagnostics_step.py``) — computed on a haloed
+     window so the pressure-gradient x-derivative never leaves VMEM;
   3. momentum advection with the semi-implicit pressure gradient
      ``(1-eps)·s_now·∇mtg_now + eps·s_new·∇mtg_new``
      (``utils.py:138 step_forward_euler_momentum``);
   4. the stage epilogue: mass fractions ``q = clip(sq/s_new)``, relaxed BC on
-     every prognostic field, Rayleigh damping (``dycore.py:798-842``).
+     every prognostic field, Rayleigh damping (``dycore.py:798-842``);
+  5. (``with_velocities``) the staggered velocity diagnosis from the FINAL
+     density and momenta (``dwarfs/diagnostics.py get_velocity_components``,
+     reference ``diagnostics.py:125``) — the momentum update is extended one
+     column left (VX = 1) so the u-face between tiles sees both final cells.
 
 Versus the two-kernel path (``advection_step.fused_advection_fields`` +
-standalone Montgomery + ``fused_momentum_epilogue``) this saves per stage:
-the u/v/s_now re-reads, the s_new and mtg_new HBM round-trips, and — via
-band-restricted constants — most of the BC-reference traffic: su/sv/q
-references ride as (nx, 16, nz) y-band strips (the relaxed band is nr<=8
-rows; x-band columns are finished OUTSIDE the kernel, see below) and the
-damping references as (nx, ny, damp_depth) top slabs.
+standalone Montgomery + ``fused_momentum_epilogue`` + an XLA velocity pass)
+this saves per stage: the u/v/s_now re-reads, the s_new and mtg_new HBM
+round-trips, the 5-sweep velocity pass, and — via band-restricted
+constants — most of the BC-reference traffic: su/sv/q references ride as
+(nx, 16, nz) y-band strips (the relaxed band is nr <= 8 rows; x-band columns
+are finished OUTSIDE the kernel, see below) and the damping references as
+(nx, ny, damp_depth) top slabs.
 
 Column ownership:
-  * kernel tiles own interior columns [nb, nx-nb), writing final values for
-    x in [nr, nx-nr) ("core rows") and RAW (un-enforced, un-damped) updates
-    for the x-band rows [nb, nr) and [nx-nr, nx-nb) — the caller applies
-    BC+damping to those few columns in XLA (cheap, and it keeps per-row
-    reference gathers out of the kernel);
+  * kernel tiles own interior columns [nb, nx-nb) (u faces [nb, nx-nb)),
+    writing final values for x in [nr, nx-nr) ("core rows") and RAW
+    (un-enforced, un-damped) updates for the x-band rows [nb, nr) and
+    [nx-nr, nx-nb) — the caller applies BC+damping to those few columns in
+    XLA (cheap, and it keeps per-row reference gathers out of the kernel);
   * the nb-wide x-frame is composed by the caller from "now" values, exactly
-    like the two-kernel path.
+    like the two-kernel path; velocity faces touching band/frame cells are
+    recomputed by the caller from the finished fields.
 
 The stage reproduces the two-kernel path to machine precision (same slicing
 algebra; the band/slab restrictions only skip arithmetic that is an exact
 identity where gamma == 0 / rmat == 0; the Montgomery contraction may differ
-by ~1 ulp because it groups TX+2 columns per matmul where the standalone
+by ~1 ulp because it groups TX+2+VX columns per matmul where the standalone
 kernel groups TX); the equivalence is pinned by ``tests/test_si_stage.py``.
 """
 
@@ -63,6 +67,7 @@ from tasmania_tpu.ops.advection_step import (
 from tasmania_tpu.ops.diagnostics_step import _scan_matmul, _tri
 
 _YB = 8  # y-band strip half-width carried per reference field (>= nr, 8-aligned)
+_P = 2   # scratch pad columns per side (covers window overhang <= 2)
 
 
 def _div_from_views(order, dx, dy, nb, ny, uf, vf, xs, ybase):
@@ -74,7 +79,6 @@ def _div_from_views(order, dx, dy, nb, ny, uf, vf, xs, ybase):
     jin = slice(nb, ny - nb)
     flux = _flux_3rd if order == 3 else _flux_5th
     fx = flux(uf[:, jin], *[x[:, jin] for x in xs])
-    W = ybase.shape[0]
     ys = [ybase[:, nb - e + k : ny - nb - e + 1 + k] for k in range(2 * e)]
     fy = flux(vf[:, nb : ny - nb + 1], *ys)
     return (fx[1:] - fx[:-1]) / dx + (fy[:, 1:] - fy[:, :-1]) / dy
@@ -85,7 +89,7 @@ def _div_from_views(order, dx, dy, nb, ny, uf, vf, xs, ybase):
     static_argnames=(
         "order", "nb", "nr", "dt", "dtf", "dx", "dy", "eps",
         "pt", "dz", "g", "cp", "rd", "pref",
-        "nq", "do_damp", "dd", "tile_x", "interpret",
+        "nq", "do_damp", "dd", "with_velocities", "tile_x", "interpret",
     ),
 )
 def fused_si_stage(
@@ -126,30 +130,35 @@ def fused_si_stage(
     nq: int,
     do_damp: bool,
     dd: int,     # damp depth: rmat[:, dd:] must be exactly zero
+    with_velocities: bool = False,
     tile_x: int = _DEFAULT_TILE_X,
     interpret: bool = False,
 ):
-    """One fused SI stage; returns (s_f, su_f, sv_f, *q_f), full arrays."""
+    """One fused SI stage; returns (s_f, su_f, sv_f, *q_f[, u_f, v_f]),
+    full arrays (staggered u (nx+1, ny, nz) / v (nx, ny+1, nz) when
+    ``with_velocities``; their outermost faces are ZERO — callers apply
+    ``set_outermost_layers_x/y``, matching ``get_velocity_components``)."""
     nx, ny, nz = s_now.shape
     e = 2 if order == 3 else 3
     assert order in (3, 5) and nb >= e
     assert nr <= _YB <= ny // 2 and nb <= nr
     assert len(q_now) == len(q_int) == len(q_refs) == nq
     NXI = nx - 2 * nb
-    # W1 = TX+2 must leave the one-column s_int halo in-bounds even at the
-    # extreme tiles (the dynamic-slice shift absorbs exactly one column)
-    TX = min(tile_x, NXI - 2) if nb == e else min(tile_x, NXI)
+    VX = 1 if with_velocities else 0
+    # the widest window (s stencil, Wm + 2e) must fit in the array
+    WIN_CAP = nx - (2 + VX + 2 * e)
+    TX = min(tile_x, NXI, WIN_CAP)
     assert TX >= 1, "grid too small for the fused stage (use the 2-kernel path)"
-    W1 = TX + 2
-    HS = W1 + 2 * e
+    Wm = TX + 2 + VX        # density/Montgomery window, cells [t0-1-VX, t0+TX+1)
+    Wp = TX + VX            # momentum window, cells [t0-VX, t0+TX)
+    WIN_S = Wm + 2 * e      # s_int stencil fetch
+    WIN_M = Wp + 2 * e      # su/sv_int stencil fetch
     jin = slice(nb, ny - nb)
     dtype = s_now.dtype
     dd_eff = dd if do_damp else 1
 
-    theta_np = theta  # (1, nz+1)
-
     def kernel(*refs):
-        refs, pad_ref = refs[:-1], refs[-1]
+        refs, spad_ref, supad_ref, svpad_ref = refs[:-3], *refs[-3:]
         (u_ref, v_ref, sn_ref, si_ref) = refs[:4]
         pos = 4
         qn_refs = refs[pos : pos + nq]; pos += nq
@@ -165,48 +174,52 @@ def fused_si_stage(
         pid = pl.program_id(0)
         cs = jnp.minimum(pid * TX, NXI - TX)
         t0 = nb + cs
-        a0 = jnp.clip(t0 - 1 - e, 0, nx - HS)
-        delta = (t0 - 1 - e) - a0  # {-1, 0, +1}; nonzero only when nb == e
 
-        uf = u_ref[:]                      # (TX+3, ny, nz) faces [t0-1, ...)
-        vf = v_ref[:]                      # (TX+2, ny+1, nz)
-        s_now_w = sn_ref[:]                # (TX+2, ny, nz)
-        s_int_w = si_ref[:]                # (HS, ny, nz), starts at a0
+        def fill_pad(pad, win, W):
+            """win (W, ny, nz) -> pad (W+2P, ny, nz) with edge duplicates."""
+            pad[_P : _P + W] = win
+            for p in range(_P):
+                pad[p : p + 1] = win[:1]
+                pad[W + _P + p : W + _P + p + 1] = win[-1:]
 
-        # --- density advection on the W1 window --------------------------- #
-        # The nominal stencil window [t0-1-e, t0+TX+1+e) leaves the array by
-        # exactly one column at the extreme tiles (when nb == e), so the
-        # fetched block starts at the clamped a0.  Copy the window into a
-        # scratch ref padded by one edge-duplicate column per side: every
-        # view start 1 + delta + k is then in-range, and the views are
-        # dynamic REF reads (``pl.ds``) — Mosaic has no lowering for
+        # s_int stencil window: nominal [t0-1-VX-e, t0+TX+1+e), fetched at
+        # the array-clamped a0 and re-centred via edge-duplicate scratch
+        # padding + dynamic ref reads (pl.ds) — Mosaic has no lowering for
         # dynamic_slice on values, and a clamped slice would SHIFT the whole
         # view, corrupting every column rather than just the masked frame
-        # column that consumes the duplicate values.
-        pad_ref[1 : HS + 1] = s_int_w
-        pad_ref[0:1] = s_int_w[:1]
-        pad_ref[HS + 1 : HS + 2] = s_int_w[-1:]
-        xs = [
-            pad_ref[pl.ds(1 + delta + k, W1 + 1)] for k in range(2 * e)
-        ]
-        ybase_s = pad_ref[pl.ds(1 + delta + e, W1)]
+        # columns that consume the duplicate values.
+        nom_s = t0 - 1 - VX - e
+        del_s = nom_s - jnp.clip(nom_s, 0, nx - WIN_S)
+        fill_pad(spad_ref, si_ref[:], WIN_S)
+        nom_m = t0 - VX - e
+        del_m = nom_m - jnp.clip(nom_m, 0, nx - WIN_M)
+        fill_pad(supad_ref, sui_ref[:], WIN_M)
+        fill_pad(svpad_ref, svi_ref[:], WIN_M)
+
+        uf = u_ref[:]            # (TX+3+VX, ny, nz) faces [t0-1-VX, t0+TX+2)
+        vf = v_ref[:]            # (Wm, ny+1, nz)
+        s_now_w = sn_ref[:]      # (Wm, ny, nz)
+
+        # --- density advection on the Wm window --------------------------- #
+        xs = [spad_ref[pl.ds(_P + del_s + k, Wm + 1)] for k in range(2 * e)]
+        ybase_s = spad_ref[pl.ds(_P + del_s + e, Wm)]
         div_s = _div_from_views(order, dx, dy, nb, ny, uf, vf, xs, ybase_s)
         s_adv = s_now_w[:, jin] - dt * div_s
         s_res = jnp.concatenate(
             [s_now_w[:, :nb], s_adv, s_now_w[:, ny - nb :]], axis=1
         )
-        r1 = lax.broadcasted_iota(jnp.int32, (W1, 1, 1), 0)
-        xg1 = t0 - 1 + r1
+        r1 = lax.broadcasted_iota(jnp.int32, (Wm, 1, 1), 0)
+        xg1 = t0 - 1 - VX + r1
         frame1 = (xg1 < nb) | (xg1 >= nx - nb)
         s_res = jnp.where(frame1, s_now_w, s_res)
-        s_e_w1 = _enforce_relaxed(s_res, g_ref[:], sref_ref[:])
+        s_e_wm = _enforce_relaxed(s_res, g_ref[:], sref_ref[:])
 
         # --- Montgomery of the enforced density (MXU scans) --------------- #
-        hs_w = hs_ref[:]                   # (TX+2, ny, 1)
+        hs_w = hs_ref[:]                   # (Wm, ny, 1)
         theta_s = th_ref[0, nz]
-        p_rest = _scan_matmul(g * dz * s_e_w1, _tri(nz, dtype, lower_incl=True))
+        p_rest = _scan_matmul(g * dz * s_e_wm, _tri(nz, dtype, lower_incl=True))
         p = jnp.concatenate(
-            [jnp.full_like(s_e_w1[..., :1], pt), pt + p_rest], axis=-1
+            [jnp.full_like(s_e_wm[..., :1], pt), pt + p_rest], axis=-1
         )
         exn = cp * (p / pref) ** (rd / cp)
         mtg_s = theta_s * exn[..., nz : nz + 1] + g * hs_w
@@ -214,30 +227,40 @@ def fused_si_stage(
         rsum = _scan_matmul(
             dz * exn[..., 1:nz], _tri(nz - 1, dtype, lower_incl=False)
         )
-        mtg_w1 = jnp.concatenate([base + rsum, base], axis=-1)
+        mtg_wm = jnp.concatenate([base + rsum, base], axis=-1)
 
-        # --- tile-column views -------------------------------------------- #
-        ct = slice(1, TX + 1)
-        uf_t = uf[1 : TX + 2]
-        vf_t = vf[1 : TX + 1]
-        s_now_t = s_now_w[ct]
-        s_e_t = s_e_w1[ct]
-        sref_t = sref_ref[:][ct]
-        g_t = g_ref[:][ct]
+        # --- window views --------------------------------------------------- #
+        cwp = slice(1, 1 + Wp)          # Wp cells within the Wm window
+        ctm = slice(1 + VX, 1 + VX + TX)  # tile cells within Wm
+        ctp = slice(VX, VX + TX)          # tile cells within Wp
+        uf_p = uf[1 : Wp + 2]             # faces for the Wp divergence
+        vf_p = vf[1 : 1 + Wp]
+        uf_t = uf[1 + VX : 1 + VX + TX + 1]
+        vf_t = vf[1 + VX : 1 + VX + TX]
+        s_now_p = s_now_w[cwp]
+        s_now_t = s_now_w[ctm]
+        s_e_p = s_e_wm[cwp]
+        s_e_t = s_e_wm[ctm]
+        sref_p = sref_ref[:][cwp]
+        g_p = g_ref[:][cwp]
+        g_t = g_ref[:][ctm]
+        rp = lax.broadcasted_iota(jnp.int32, (Wp, 1, 1), 0)
+        band_p = ((t0 - VX + rp) < nr) | ((t0 - VX + rp) >= nx - nr)
         rt = lax.broadcasted_iota(jnp.int32, (TX, 1, 1), 0)
-        xgt = t0 + rt
-        band = (xgt < nr) | (xgt >= nx - nr)
+        band_t = ((t0 + rt) < nr) | ((t0 + rt) >= nx - nr)
 
-        def div_tile(phi_w):
-            # phi_w: (TX+2e, ny, nz) cells [t0-e, t0+TX+e)
-            xs_t = [phi_w[k : TX + 1 + k] for k in range(2 * e)]
+        def div_p(pad, delta):
+            xs_p = [pad[pl.ds(_P + delta + k, Wp + 1)] for k in range(2 * e)]
             return _div_from_views(
-                order, dx, dy, nb, ny, uf_t, vf_t, xs_t, phi_w[e : e + TX]
+                order, dx, dy, nb, ny, uf_p, vf_p, xs_p,
+                pad[pl.ds(_P + delta + e, Wp)],
             )
 
-        def enforce_yband(res, yb):
-            lo = _enforce_relaxed(res[:, :_YB], g_t[:, :_YB], yb[:, :_YB])
-            hi = _enforce_relaxed(res[:, ny - _YB :], g_t[:, ny - _YB :], yb[:, _YB:])
+        def enforce_yband(res, gg, yb):
+            lo = _enforce_relaxed(res[:, :_YB], gg[:, :_YB], yb[:, :_YB])
+            hi = _enforce_relaxed(
+                res[:, ny - _YB :], gg[:, ny - _YB :], yb[:, _YB:]
+            )
             return jnp.concatenate([lo, res[:, _YB : ny - _YB], hi], axis=1)
 
         rm_top = rm_ref[:][:, None, :]     # (1, dd) -> (1, 1, dd)
@@ -250,34 +273,33 @@ def fused_si_stage(
             )
             return jnp.concatenate([top, phi[..., dd_eff:]], axis=-1)
 
-        # --- s output ------------------------------------------------------ #
-        # s is enforced a SECOND time in the epilogue (reference
-        # ``dycore.py:811`` after ``rk3ws_si.py:183``; v1 kernel does the
-        # same); band rows carry the single-enforced value — the caller
-        # applies the second enforcement there
-        s_e2 = _enforce_relaxed(s_e_t, g_t, sref_t)
-        s_dmp = damp_top(s_e2, s_now_t, sref_t[..., :dd_eff])
-        out_refs[0][0:TX] = jnp.where(band, s_e_t, s_dmp)
+        # --- s: second enforcement + damping (reference ``dycore.py:811`` -- #
+        # after ``rk3ws_si.py:183``; band rows carry the single-enforced
+        # value — the caller applies the second enforcement + damping there)
+        s_e2_p = _enforce_relaxed(s_e_p, g_p, sref_p)
+        s_dmp_p = damp_top(s_e2_p, s_now_p, sref_p[..., :dd_eff])
+        s_f_p = jnp.where(band_p, s_e_p, s_dmp_p)
+        out_refs[0][0:TX] = s_f_p[ctp]
 
-        # --- momentum ------------------------------------------------------ #
-        su_n = sun_ref[:]
+        # --- momentum on the Wp window ------------------------------------- #
+        su_n = sun_ref[:]                  # (Wp, ny, nz)
         sv_n = svn_ref[:]
-        div_su = div_tile(sui_ref[:])
-        div_sv = div_tile(svi_ref[:])
-        m_n = mn_ref[:]                    # (TX+2, ny, nz)
-        cp1 = slice(2, TX + 2)
-        cm1 = slice(0, TX)
+        div_su = div_p(supad_ref, del_m)
+        div_sv = div_p(svpad_ref, del_m)
+        m_n = mn_ref[:]                    # (Wm, ny, nz)
+        cp1 = slice(2, 2 + Wp)
+        cm1 = slice(0, Wp)
         jp1 = slice(nb + 1, ny - nb + 1)
         jm1 = slice(nb - 1, ny - nb - 1)
-        pgx = (1.0 - eps) * s_now_t[:, jin] * (
+        pgx = (1.0 - eps) * s_now_p[:, jin] * (
             m_n[cp1, jin] - m_n[cm1, jin]
-        ) / (2.0 * dx) + eps * s_e_t[:, jin] * (
-            mtg_w1[cp1, jin] - mtg_w1[cm1, jin]
+        ) / (2.0 * dx) + eps * s_e_p[:, jin] * (
+            mtg_wm[cp1, jin] - mtg_wm[cm1, jin]
         ) / (2.0 * dx)
-        pgy = (1.0 - eps) * s_now_t[:, jin] * (
-            m_n[ct, jp1] - m_n[ct, jm1]
-        ) / (2.0 * dy) + eps * s_e_t[:, jin] * (
-            mtg_w1[ct, jp1] - mtg_w1[ct, jm1]
+        pgy = (1.0 - eps) * s_now_p[:, jin] * (
+            m_n[cwp, jp1] - m_n[cwp, jm1]
+        ) / (2.0 * dy) + eps * s_e_p[:, jin] * (
+            mtg_wm[cwp, jp1] - mtg_wm[cwp, jm1]
         ) / (2.0 * dy)
         su_pre = jnp.concatenate(
             [su_n[:, :nb], su_n[:, jin] - dt * (div_su + pgx), su_n[:, ny - nb :]],
@@ -287,79 +309,90 @@ def fused_si_stage(
             [sv_n[:, :nb], sv_n[:, jin] - dt * (div_sv + pgy), sv_n[:, ny - nb :]],
             axis=1,
         )
-        su_enf = enforce_yband(su_pre, suyb_ref[:])
-        sv_enf = enforce_yband(sv_pre, svyb_ref[:])
+        g_wp = g_ref[:][cwp]
+        su_enf = enforce_yband(su_pre, g_wp, suyb_ref[:])
+        sv_enf = enforce_yband(sv_pre, g_wp, svyb_ref[:])
         su_dmp = damp_top(su_enf, su_n, sutop_ref[:])
         sv_dmp = damp_top(sv_enf, sv_n, svtop_ref[:])
-        out_refs[1][0:TX] = jnp.where(band, su_pre, su_dmp)
-        out_refs[2][0:TX] = jnp.where(band, sv_pre, sv_dmp)
+        su_f_p = jnp.where(band_p, su_pre, su_dmp)
+        sv_f_p = jnp.where(band_p, sv_pre, sv_dmp)
+        out_refs[1][0:TX] = su_f_p[ctp]
+        out_refs[2][0:TX] = sv_f_p[ctp]
 
-        # --- water species ------------------------------------------------- #
+        # --- water species -------------------------------------------------- #
         if nq:
-            s_int_q = pad_ref[pl.ds(2 + delta, TX + 2 * e)]
+            s_int_q = spad_ref[pl.ds(_P + del_s + 1 + VX, TX + 2 * e)]
             for k in range(nq):
                 sq_now = _clip_pos(s_now_t * qn_refs[k][:])
                 sq_int = _clip_pos(s_int_q * qi_refs[k][:])
-                div_q = div_tile(sq_int)
+                xs_q = [sq_int[j : TX + 1 + j] for j in range(2 * e)]
+                div_q = _div_from_views(
+                    order, dx, dy, nb, ny, uf_t, vf_t, xs_q,
+                    sq_int[e : e + TX],
+                )
                 sq_res = jnp.concatenate(
                     [sq_now[:, :nb], sq_now[:, jin] - dt * div_q,
                      sq_now[:, ny - nb :]],
                     axis=1,
                 )
                 q_raw = _clip_pos(sq_res / s_e_t)
-                q_enf = enforce_yband(q_raw, qyb_refs[k][:])
-                out_refs[3 + k][0:TX] = jnp.where(band, q_raw, q_enf)
+                q_enf = enforce_yband(q_raw, g_t, qyb_refs[k][:])
+                out_refs[3 + k][0:TX] = jnp.where(band_t, q_raw, q_enf)
+
+        # --- staggered velocities from the FINAL fields --------------------- #
+        # (``dwarfs/diagnostics.py get_velocity_components``; faces touching
+        # band/frame cells are recomputed by the caller from finished fields)
+        if with_velocities:
+            u_face = (su_f_p[:-1] + su_f_p[1:]) / (s_f_p[:-1] + s_f_p[1:])
+            out_refs[3 + nq][0:TX] = u_face
+            s_f_t = s_f_p[ctp]
+            sv_f_t = sv_f_p[ctp]
+            v_in = (sv_f_t[:, :-1] + sv_f_t[:, 1:]) / (
+                s_f_t[:, :-1] + s_f_t[:, 1:]
+            )
+            zv = jnp.zeros_like(v_in[:, :1])
+            out_refs[4 + nq][0:TX] = jnp.concatenate([zv, v_in, zv], axis=1)
 
     # ----------------------- specs & wrapper ------------------------------- #
-    def em(w, off):
+    def em(w, off, lastdim=None, ydim=None):
         """Element spec of x-width w at clamped tile start + off."""
         return pl.BlockSpec(
-            (pl.Element(w), pl.Element(ny), pl.Element(nz)),
-            lambda ix, off=off, w=w: (
+            (
+                pl.Element(w),
+                pl.Element(ny if ydim is None else ydim),
+                pl.Element(nz if lastdim is None else lastdim),
+            ),
+            lambda ix, off=off: (
                 nb + off + jnp.minimum(ix * TX, NXI - TX), 0, 0
             ),
             memory_space=pltpu.VMEM,
         )
 
-    s_int_spec = pl.BlockSpec(
-        (pl.Element(HS), pl.Element(ny), pl.Element(nz)),
-        lambda ix: (
-            jnp.clip(nb - 1 - e + jnp.minimum(ix * TX, NXI - TX), 0, nx - HS),
-            0,
-            0,
-        ),
-        memory_space=pltpu.VMEM,
-    )
-    u_spec = pl.BlockSpec(
-        (pl.Element(TX + 3), pl.Element(ny), pl.Element(nz)),
-        lambda ix: (nb - 1 + jnp.minimum(ix * TX, NXI - TX), 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    v_spec = pl.BlockSpec(
-        (pl.Element(W1), pl.Element(ny + 1), pl.Element(nz)),
-        lambda ix: (nb - 1 + jnp.minimum(ix * TX, NXI - TX), 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    plane_spec = pl.BlockSpec(  # (nx, ny, 1) operands on the W1 window
-        (pl.Element(W1), pl.Element(ny), pl.Element(1)),
-        lambda ix: (nb - 1 + jnp.minimum(ix * TX, NXI - TX), 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    yband_spec = pl.BlockSpec(
-        (pl.Element(TX), pl.Element(2 * _YB), pl.Element(nz)),
-        lambda ix: (nb + jnp.minimum(ix * TX, NXI - TX), 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    top_spec = pl.BlockSpec(
-        (pl.Element(TX), pl.Element(ny), pl.Element(dd_eff)),
-        lambda ix: (nb + jnp.minimum(ix * TX, NXI - TX), 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    def clamped(w, nom_off):
+        return pl.BlockSpec(
+            (pl.Element(w), pl.Element(ny), pl.Element(nz)),
+            lambda ix, nom_off=nom_off, w=w: (
+                jnp.clip(
+                    nb + nom_off + jnp.minimum(ix * TX, NXI - TX), 0, nx - w
+                ),
+                0,
+                0,
+            ),
+            memory_space=pltpu.VMEM,
+        )
 
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
     c_spec = em(TX, 0)
-    w1_spec = em(W1, -1)
-    h_spec = em(TX + 2 * e, -e)
+    wm_spec = em(Wm, -1 - VX)
+    wp_spec = em(Wp, -VX)
+    u_spec = em(TX + 3 + VX, -1 - VX)
+    v_spec = em(Wm, -1 - VX, ydim=ny + 1)
+    plane_spec = em(Wm, -1 - VX, lastdim=1)
+    s_int_spec = clamped(WIN_S, -1 - VX - e)
+    m_int_spec = clamped(WIN_M, -VX - e)
+    yband_spec = em(Wp, -VX, ydim=2 * _YB)
+    top_spec = em(Wp, -VX, lastdim=dd_eff)
+    qyb_spec = em(TX, 0, ydim=2 * _YB)
 
     # band/slab constants (XLA slices of the full reference fields)
     def yband(a):
@@ -373,6 +406,16 @@ def fused_si_stage(
     hs3 = hs[:, :, None].astype(dtype)
     g3 = gamma[:, :, None].astype(dtype)
 
+    n_out = 3 + nq + (2 if with_velocities else 0)
+    out_shapes = [jax.ShapeDtypeStruct((nx, ny, nz), dtype)] * (3 + nq)
+    out_specs = [c_spec] * (3 + nq)
+    if with_velocities:
+        out_shapes += [
+            jax.ShapeDtypeStruct((nx + 1, ny, nz), dtype),
+            jax.ShapeDtypeStruct((nx, ny + 1, nz), dtype),
+        ]
+        out_specs += [em(TX, 0), em(TX, 0, ydim=ny + 1)]
+
     outs = pl.pallas_call(
         kernel,
         grid=(pl.cdiv(NXI, TX),),
@@ -380,26 +423,30 @@ def fused_si_stage(
             vmem_limit_bytes=120 * 1024 * 1024
         ),
         in_specs=(
-            [u_spec, v_spec, w1_spec, s_int_spec]
+            [u_spec, v_spec, wm_spec, s_int_spec]
             + [c_spec] * nq
-            + [h_spec] * nq
-            + [c_spec, c_spec, h_spec, h_spec, w1_spec]
-            + [plane_spec, whole, plane_spec, w1_spec]
+            + [h_spec_q := em(TX + 2 * e, -e)] * nq
+            + [wp_spec, wp_spec, m_int_spec, m_int_spec, wm_spec]
+            + [plane_spec, whole, plane_spec, wm_spec]
             + [yband_spec, yband_spec]
-            + [yband_spec] * nq
+            + [qyb_spec] * nq
             + [top_spec, top_spec, whole]
         ),
-        out_specs=[c_spec] * (3 + nq),
-        out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), dtype)] * (3 + nq),
-        scratch_shapes=[pltpu.VMEM((HS + 2, ny, nz), dtype)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((WIN_S + 2 * _P, ny, nz), dtype),
+            pltpu.VMEM((WIN_M + 2 * _P, ny, nz), dtype),
+            pltpu.VMEM((WIN_M + 2 * _P, ny, nz), dtype),
+        ],
         interpret=interpret,
     )(
         u, v, s_now, s_int, *q_now, *q_int, su_now, sv_now, su_int, sv_int,
-        mtg_now, hs3, theta_np, g3, s_ref, su_yb, sv_yb, *q_ybs,
+        mtg_now, hs3, theta, g3, s_ref, su_yb, sv_yb, *q_ybs,
         su_top, sv_top, rm_top,
     )
     s_o, su_o, sv_o = outs[0], outs[1], outs[2]
-    q_o = list(outs[3:])
+    q_o = list(outs[3 : 3 + nq])
 
     # ------------- finish the x-band and x-frame columns in XLA ------------ #
     r3 = rmat[:, None, :] if do_damp else None
@@ -426,7 +473,7 @@ def fused_si_stage(
     arrs = [s_o, su_o, sv_o] + q_o
 
     # x-band [nb, nr) / [nx-nr, nx-nb): kernel wrote raw updates (s already
-    # enforced); apply BC + damping here
+    # enforced once); apply BC + damping here
     for sl in (slice(nb, nr), slice(nx - nr, nx - nb)):
         if sl.start < sl.stop:
             vals = full_epilogue(
@@ -444,4 +491,35 @@ def fused_si_stage(
         vals = full_epilogue(sl, s_e_sl, su_now[sl], sv_now[sl], q_raw)
         arrs = paste(arrs, sl, vals)
 
-    return tuple(arrs)
+    if not with_velocities:
+        return tuple(arrs)
+
+    # velocity faces touching band/frame cells, from the FINISHED fields
+    # (identical expression to the kernel's — and to
+    # ``get_velocity_components`` — so every face is a single formula
+    # evaluation on final values); outermost faces are zeroed for the
+    # caller's ``set_outermost_layers_x/y``
+    s_f, su_f, sv_f = arrs[0], arrs[1], arrs[2]
+    u_o, v_o = outs[3 + nq], outs[4 + nq]
+
+    def uface(f0, f1):
+        return (su_f[f0 - 1 : f1 - 1] + su_f[f0:f1]) / (
+            s_f[f0 - 1 : f1 - 1] + s_f[f0:f1]
+        )
+
+    zcol = jnp.zeros((1, ny, nz), dtype)
+    u_o = u_o.at[0:1].set(zcol).at[nx : nx + 1].set(zcol)
+    u_o = u_o.at[1 : nr + 1].set(uface(1, nr + 1))
+    u_o = u_o.at[nx - nr : nx].set(uface(nx - nr, nx))
+
+    def vrows(sl):
+        v_in = (sv_f[sl][:, :-1] + sv_f[sl][:, 1:]) / (
+            s_f[sl][:, :-1] + s_f[sl][:, 1:]
+        )
+        zv = jnp.zeros_like(v_in[:, :1])
+        return jnp.concatenate([zv, v_in, zv], axis=1)
+
+    v_o = v_o.at[0:nr].set(vrows(slice(0, nr)))
+    v_o = v_o.at[nx - nr :].set(vrows(slice(nx - nr, nx)))
+
+    return tuple(arrs) + (u_o, v_o)

@@ -101,3 +101,55 @@ def test_stage_v2_falls_back_with_tendencies(rng):
         np.testing.assert_array_equal(
             np.asarray(out[name]), np.asarray(ref[name]), err_msg=name
         )
+
+
+def test_stage_v2_with_velocities_flag():
+    """``with_velocities=True`` (off by default: measured slower on chip,
+    BENCH_NOTES r3_negative_results) must leave the prognostic outputs
+    identical and produce u/v equal to ``get_velocity_components`` of the
+    final fields (outermost faces zero)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tasmania_tpu.ops.si_stage import fused_si_stage
+
+    rng = np.random.default_rng(7)
+    nx, ny, nz, nb, nr, e = 24, 20, 6, 3, 6, 3
+
+    def f(*shape, lo=0.5, hi=1.5):
+        return jnp.asarray(rng.uniform(lo, hi, shape), jnp.float32)
+
+    u = f(nx + 1, ny, nz)
+    v = f(nx, ny + 1, nz)
+    s, si = f(nx, ny, nz, lo=5, hi=10), f(nx, ny, nz, lo=5, hi=10)
+    qn = tuple(f(nx, ny, nz, lo=0, hi=1e-3) for _ in range(3))
+    qi = tuple(f(nx, ny, nz, lo=0, hi=1e-3) for _ in range(3))
+    su, sv, sui, svi = (f(nx, ny, nz) for _ in range(4))
+    mtg = f(nx, ny, nz, lo=1e5, hi=3e5)
+    hs = f(nx, ny, lo=0, hi=300)
+    theta = jnp.linspace(400.0, 300.0, nz + 1, dtype=jnp.float32)[None, :]
+    gamma = jnp.zeros((nx, ny), jnp.float32).at[:nr].set(0.4).at[-nr:].set(0.4)
+    gamma = gamma.at[:, :nr].set(0.4).at[:, -nr:].set(0.4)
+    rmat = jnp.zeros((1, nz), jnp.float32).at[:, :2].set(0.05)
+
+    kw = dict(
+        order=5, nb=nb, nr=nr, dt=7.0, dtf=21.0, dx=1e3, dy=1e3, eps=0.5,
+        pt=2000.0, dz=10.0, g=9.80665, cp=1004.0, rd=287.05, pref=1e5,
+        nq=3, do_damp=True, dd=2, interpret=True,
+    )
+    args = (u, v, s, si, qn, qi, su, sv, sui, svi, mtg, hs, theta, gamma,
+            si, su, sv, qn, rmat)
+    base = fused_si_stage(*args, **kw)
+    wv = fused_si_stage(*args, with_velocities=True, **kw)
+    assert len(base) == 6 and len(wv) == 8
+    for a, b in zip(base, wv[:6]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    s_f, su_f, sv_f = (np.asarray(x) for x in wv[:3])
+    u_ref = (su_f[:-1] + su_f[1:]) / (s_f[:-1] + s_f[1:])
+    v_ref = (sv_f[:, :-1] + sv_f[:, 1:]) / (s_f[:, :-1] + s_f[:, 1:])
+    u_o, v_o = np.asarray(wv[6]), np.asarray(wv[7])
+    np.testing.assert_allclose(u_o[1:nx], u_ref, rtol=1e-6)
+    np.testing.assert_allclose(v_o[:, 1:ny], v_ref, rtol=1e-6)
+    assert np.all(u_o[0] == 0) and np.all(u_o[nx] == 0)
+    assert np.all(v_o[:, 0] == 0) and np.all(v_o[:, ny] == 0)
