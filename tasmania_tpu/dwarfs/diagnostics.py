@@ -52,6 +52,10 @@ class HorizontalVelocity(GridComponent, StencilFactory):
         here they are zero-filled and callers apply
         ``set_outermost_layers_x/y``."""
         xp = get_namespace(d)
+        # note: a dedicated Pallas kernel for this measured SLOWER than XLA
+        # (5.14e8 vs 5.52e8 gridpoints/s end-to-end) — XLA fuses the
+        # staggered divide with the neighbouring pointwise work, which two
+        # small pallas_calls cannot (BENCH_NOTES r3_negative_results)
         if self._staggering:
             u_in = (du[:-1] + du[1:]) / (d[:-1] + d[1:])
             v_in = (dv[:, :-1] + dv[:, 1:]) / (d[:, :-1] + d[:, 1:])
