@@ -26,6 +26,44 @@ from tasmania_tpu.framework.steppers import SequentialTendencyStepper, TendencyS
 
 _DIAGNOSTIC_TYPES = (DiagnosticComponent, DiagnosticComponentComposite)
 
+# process-pair fusers: (matcher, fuser) pairs registered by component modules;
+# a matcher inspects two ADJACENT sequential-update processes (both substeps=1
+# steppers) and a fuser runs both in one pass — e.g. the Pallas
+# Kessler+saturation-adjustment kernel, where the intermediate species never
+# round-trip HBM.  The fuser signature is
+# ``fuser(stepperA, stepperB, state, timedelta) -> (diagnostics, stepped)``
+# with A-then-B semantics; results must be bitwise those of the two separate
+# applications.  TASMANIA_FUSE_PAIRS=0 disables pairing (debug).
+_PROCESS_PAIR_FUSERS: List[Any] = []
+
+
+def register_process_pair_fuser(matcher, fuser) -> None:
+    _PROCESS_PAIR_FUSERS.append((matcher, fuser))
+
+
+def _pair_plan(steppers) -> List[Tuple[Any, ...]]:
+    """("one", comp, substeps) / ("pair", A, B, fuser) execution plan."""
+    import os
+
+    plan: List[Tuple[Any, ...]] = []
+    if os.environ.get("TASMANIA_FUSE_PAIRS", "1") == "0":
+        return [("one", c, s) for c, s in steppers]
+    i = 0
+    while i < len(steppers):
+        fused = None
+        if i + 1 < len(steppers) and steppers[i][1] == 1 and steppers[i + 1][1] == 1:
+            for matcher, fuser in _PROCESS_PAIR_FUSERS:
+                if matcher(steppers[i][0], steppers[i + 1][0]):
+                    fused = ("pair", steppers[i][0], steppers[i + 1][0], fuser)
+                    break
+        if fused is not None:
+            plan.append(fused)
+            i += 2
+        else:
+            plan.append(("one",) + steppers[i])
+            i += 1
+    return plan
+
 
 def _is_diagnostic(component) -> bool:
     return isinstance(component, _DIAGNOSTIC_TYPES) or (
@@ -89,7 +127,16 @@ class SequentialUpdateSplitting:
         td = timedelta(seconds=dt)
         current_time = state.get("time", None)
         out = dict(state)
-        for comp, substeps in self._steppers:
+        for entry in _pair_plan(self._steppers):
+            if entry[0] == "pair":
+                _, comp_a, comp_b, fuser = entry
+                diagnostics, stepped = fuser(comp_a, comp_b, out, td)
+                out = self._dict_op.update(out, diagnostics)
+                out = self._dict_op.update(out, stepped)
+                if current_time is not None:
+                    out["time"] = current_time
+                continue
+            _, comp, substeps = entry
             if _is_diagnostic(comp):
                 diags = comp(out)
                 out = self._dict_op.update(out, diags)

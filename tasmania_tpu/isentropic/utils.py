@@ -144,11 +144,70 @@ def _satadj_chain_fuser(components, state, dt, output_properties):
     return {_TTD: FieldArray(th, "K s^-1", DIMS)}, out
 
 
+# ------------------------------------------------------------------------------ #
+# process-pair fuser: the two ADJACENT SUS processes [Kessler](rk2) then         #
+# [SatAdj](rk2) in ONE kernel — the intermediate qv/qc and the Kessler           #
+# θ-tendency never round-trip HBM, and t/p/exn are read once                     #
+# ------------------------------------------------------------------------------ #
+
+
+def _kessler_satadj_pair_matches(stepper_a, stepper_b) -> bool:
+    return (
+        getattr(stepper_a, "name", "") == "rk2"
+        and getattr(stepper_b, "name", "") == "rk2"
+        and not getattr(stepper_a, "_enforce_hb", True)
+        and not getattr(stepper_b, "_enforce_hb", True)
+        and _kessler_chain_matches(stepper_a._coupling.components, "rk2")
+        and _satadj_chain_matches(stepper_b._coupling.components, "rk2")
+    )
+
+
+def _kessler_satadj_pair_fuser(stepper_a, stepper_b, state, td):
+    from tasmania_tpu.framework.field import FieldArray, get_array_dict
+    from tasmania_tpu.ops.kessler_step import fused_kessler_satadj_rk2
+
+    ke = stepper_a._coupling.components[0]
+    sa = stepper_b._coupling.components[1]
+    raw = get_array_dict(state, ke.input_properties)
+    rd = ke.rpc["gas_constant_of_dry_air"]
+    rv = ke.rpc["gas_constant_of_water_vapor"]
+    dt = td.total_seconds()
+    qv, qc, qr, th = fused_kessler_satadj_rk2(
+        raw["air_density"],
+        raw["air_temperature"],
+        raw["air_pressure_on_interface_levels"],
+        raw["exner_function_on_interface_levels"],
+        raw[mfwv],
+        raw[mfcw],
+        raw[mfpw],
+        a=ke._a,
+        k1=ke._k1,
+        k2=ke._k2,
+        sr=sa._sr,
+        beta=rd / rv,
+        lhvw=ke.rpc["latent_heat_of_vaporization_of_water"],
+        cp=sa.rpc["specific_heat_of_dry_air_at_constant_pressure"],
+        rv=rv,
+        dt=float(dt),
+        interpret=ke.backend == "pallas:interpret",
+    )
+    q_units = stepper_a.output_properties
+    out = {
+        n: FieldArray(arr, q_units[n]["units"], DIMS)
+        for n, arr in ((mfwv, qv), (mfcw, qc), (mfpw, qr))
+    }
+    return {_TTD: FieldArray(th, "K s^-1", DIMS)}, out
+
+
 def _register_kessler_chain_fusers() -> None:
     from tasmania_tpu.framework.concurrent_coupling import register_chain_fuser
+    from tasmania_tpu.framework.splitting import register_process_pair_fuser
 
     register_chain_fuser(_kessler_chain_matches, _kessler_chain_fuser)
     register_chain_fuser(_satadj_chain_matches, _satadj_chain_fuser)
+    register_process_pair_fuser(
+        _kessler_satadj_pair_matches, _kessler_satadj_pair_fuser
+    )
 
 
 _register_kessler_chain_fusers()

@@ -103,6 +103,102 @@ def fused_kessler_rk2(
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "a", "k1", "k2", "sr", "beta", "lhvw", "cp", "rv", "dt",
+        "tile_x", "interpret",
+    ),
+)
+def fused_kessler_satadj_rk2(
+    rho,
+    t,
+    p_if,
+    exn_if,
+    qv,
+    qc,
+    qr,
+    *,
+    a: float,
+    k1: float,
+    k2: float,
+    sr: float,
+    beta: float,
+    lhvw: float,
+    cp: float,
+    rv: float,
+    dt: float,
+    tile_x: int = 16,
+    interpret: bool = False,
+):
+    """BOTH adjacent SUS processes — the RK2 Kessler microphysics update and
+    the RK2 relaxed saturation adjustment applied to its output — in ONE
+    kernel: the intermediate (qv', qc') and the Kessler θ-tendency never
+    round-trip HBM, and the shared thermodynamic inputs (t, p, exn) are read
+    once instead of twice.  Bitwise-identical op sequence to
+    ``fused_kessler_rk2`` followed by ``fused_satadj_rk2``.
+
+    Returns (qv'', qc'', qr', θ-tendency after both processes)."""
+    nx, ny, nz = rho.shape
+    TX = min(tile_x, nx)
+    NT = pl.cdiv(nx, TX)
+
+    def kernel(rho_r, t_r, p_r, e_r, qv_r, qc_r, qr_r, oqv, oqc, oqr, oth):
+        rhov = rho_r[:]
+        tv = t_r[:]
+        p = _main_levels(p_r[:])
+        exn = _main_levels(e_r[:])
+        qvs = beta * _tetens(tv) / p  # T fixed across stages; shared by both
+
+        # --- Kessler RK2 (identical to fused_kessler_rk2) ------------------ #
+        def tend(qv0, qc0, qr0):
+            ar = k1 * jnp.where(qc0 > a, qc0 - a, 0.0)
+            cr = k2 * qc0 * jnp.where(qr0 > 0.0, qr0**0.875, 0.0)
+            er = jnp.where(
+                qr0 > 0.0,
+                0.0484794 * (qvs - qv0) * (rhov * qr0) ** (13.0 / 20.0),
+                0.0,
+            )
+            return er, -(ar + cr), ar + cr - er
+
+        qv0, qc0, qr0 = qv_r[:], qc_r[:], qr_r[:]
+        ev1, ec1, er1 = tend(qv0, qc0, qr0)
+        h = 0.5 * dt
+        ev2, ec2, er2 = tend(qv0 + h * ev1, qc0 + h * ec1, qr0 + h * er1)
+        qv1 = qv0 + dt * ev2
+        qc1 = qc0 + dt * ec2
+        oqr[:] = qr0 + dt * er2
+        th1 = -lhvw / exn * ev1
+
+        # --- saturation adjustment RK2 (identical to fused_satadj_rk2) ----- #
+        denom = 1.0 + qvs * lhvw**2 / (cp * rv * tv**2)
+
+        def dq(qva, qca):
+            sat = (qvs - qva) / denom
+            return jnp.where(sat <= qca, sat, qca)
+
+        d1 = dq(qv1, qc1)
+        hs_ = 0.5 * dt * sr
+        d2 = dq(qv1 + hs_ * d1, qc1 - hs_ * d1)
+        oqv[:] = qv1 + dt * sr * d2
+        oqc[:] = qc1 - dt * sr * d2
+        oth[:] = th1 - sr * (lhvw / exn) * d1
+
+    spec = pl.BlockSpec((TX, ny, nz), lambda ix: (ix, 0, 0), memory_space=pltpu.VMEM)
+    spec_if = pl.BlockSpec(
+        (TX, ny, nz + 1), lambda ix: (ix, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(NT,),
+        in_specs=[spec, spec, spec_if, spec_if, spec, spec, spec],
+        out_specs=[spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), qv.dtype)] * 4,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(rho, t, p_if, exn_if, qv, qc, qr)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("sr", "beta", "lhvw", "cp", "rv", "dt", "tile_x", "interpret"),
 )
 def fused_satadj_rk2(
