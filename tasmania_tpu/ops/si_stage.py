@@ -57,8 +57,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from tasmania_tpu.ops.advection_step import (
-    _DEFAULT_TILE_X,
     _clip_pos,
     _enforce_relaxed,
     _flux_3rd,
@@ -68,6 +69,10 @@ from tasmania_tpu.ops.diagnostics_step import _scan_matmul, _tri
 
 _YB = 8  # y-band strip half-width carried per reference field (>= nr, 8-aligned)
 _P = 2   # scratch pad columns per side (covers window overhang <= 2)
+
+# tuned independently of the two-kernel pair's TX=12 (drivers/tune_tile2.py
+# on chip: 0.675 ms at TX=8/12, 0.659 at 16; TX>=20 exceeds the VMEM budget)
+_STAGE_TILE_X = int(os.environ.get("TASMANIA_TILE_X_STAGE", "16"))
 
 
 def _div_from_views(order, dx, dy, nb, ny, uf, vf, xs, ybase):
@@ -131,7 +136,7 @@ def fused_si_stage(
     do_damp: bool,
     dd: int,     # damp depth: rmat[:, dd:] must be exactly zero
     with_velocities: bool = False,
-    tile_x: int = _DEFAULT_TILE_X,
+    tile_x: int = _STAGE_TILE_X,
     interpret: bool = False,
 ):
     """One fused SI stage; returns (s_f, su_f, sv_f, *q_f[, u_f, v_f]),
