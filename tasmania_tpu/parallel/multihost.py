@@ -96,14 +96,32 @@ def make_hybrid_mesh(
     if nproc == 1:
         return make_mesh(devices, shape=mesh_shape, axis_names=axis_names)
 
-    from jax.experimental import mesh_utils
-
     assert px % nproc == 0, (
         f"mesh x-extent {px} must be divisible by process count {nproc} "
         "(hosts are stacked along the x axis)"
     )
     per_host = (px // nproc, py)
-    dev_array = mesh_utils.create_hybrid_device_mesh(
-        per_host, (nproc, 1), devices=devices, allow_split_physical_axes=True
-    )
-    return Mesh(np.asarray(dev_array), axis_names)
+    n_slices = len({getattr(d, "slice_index", None) for d in devices})
+    if n_slices == nproc:
+        # real multi-slice TPU: let mesh_utils optimize ICI adjacency within
+        # each slice and stack slices along the DCN (x) axis
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            per_host, (nproc, 1), devices=devices, allow_split_physical_axes=True
+        )
+        return Mesh(np.asarray(dev_array), axis_names)
+
+    # no slice_index (CPU clusters, single-slice tpu runtimes): stack each
+    # process's contiguous device block along x by process_index — the same
+    # contiguity rule, so only host-block edges cross the process boundary
+    blocks = []
+    for p in range(nproc):
+        dv = sorted(
+            (d for d in devices if d.process_index == p), key=lambda d: d.id
+        )
+        assert len(dv) == per_host[0] * per_host[1], (
+            f"process {p} has {len(dv)} devices, need {per_host[0] * per_host[1]}"
+        )
+        blocks.append(np.array(dv, dtype=object).reshape(per_host))
+    return Mesh(np.concatenate(blocks, axis=0), axis_names)
