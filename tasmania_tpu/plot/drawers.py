@@ -77,6 +77,10 @@ def _add_colorbar(fig, ax, mappable, props) -> None:
     }
     if "cbar_format" in props:
         kwargs["format"] = props["cbar_format"]
+    if "cbar_extendfrac" in props:
+        kwargs["extendfrac"] = props["cbar_extendfrac"]
+    if "cbar_extendrect" in props:
+        kwargs["extendrect"] = props["cbar_extendrect"]
     cb = fig.colorbar(mappable, **kwargs)
     if "cbar_title" in props:
         cb.ax.set_title(props["cbar_title"])
@@ -87,6 +91,18 @@ def _add_colorbar(fig, ax, mappable, props) -> None:
     step = props.get("cbar_ticks_step", None)
     if step and hasattr(cb, "get_ticks"):
         cb.set_ticks(cb.get_ticks()[::step])
+    if props.get("cbar_ticks_pos", None) is not None:
+        cb.set_ticks(props["cbar_ticks_pos"])
+
+
+def _draw_vertical_levels(ax, grid, props, yaxis: str) -> None:
+    """Thin lines marking the vertical grid levels on (x, z)/(y, z) sections
+    (reference make_contour(f) ``draw_vertical_levels``)."""
+    if not props.get("draw_vertical_levels", False) or yaxis != "z":
+        return
+    zf = props.get("y_factor", 1.0)
+    for zl in np.asarray(grid.z_on_interface_levels.data):
+        ax.axhline(zf * zl, color="gray", linewidth=0.5, alpha=0.7)
 
 
 def _fill_levels(props, data) -> dict:
@@ -129,6 +145,7 @@ class Contour(Drawer):
         cs = ax.contour(xc, yc, data.T, **kw)
         if p.get("clabel", False):
             ax.clabel(cs)
+        _draw_vertical_levels(ax, self._grid, p, self._yaxis)
 
 
 class Contourf(Drawer):
@@ -148,15 +165,21 @@ class Contourf(Drawer):
         kw = {**_fill_levels(p, data), **p.get("contourf_kwargs", {})}
         cf = ax.contourf(xc, yc, data.T, **kw)
         _add_colorbar(fig, ax, cf, p)
+        _draw_vertical_levels(ax, self._grid, p, self._yaxis)
 
 
 class Quiver(Drawer):
     """Vector field arrows (reference ``plot/quiver.py:37``)."""
 
-    def __init__(self, grid, x_field, y_field, field_units=None, x=None, y=None, z=None, properties=None):
+    def __init__(self, grid, x_field, y_field, field_units=None, x=None, y=None, z=None, scalar_field=None, scalar_units=None, properties=None):
         super().__init__(properties)
         self._rx = DataRetriever(grid, x_field, field_units, x, y, z)
         self._ry = DataRetriever(grid, y_field, field_units, x, y, z)
+        self._rs = (
+            DataRetriever(grid, scalar_field, scalar_units, x, y, z)
+            if scalar_field is not None
+            else None
+        )
         self._grid = grid
 
     def __call__(self, state, fig, ax):
@@ -175,17 +198,26 @@ class Quiver(Drawer):
         ):
             if src in p:
                 kw.setdefault(dst, p[src])
-        q = ax.quiver(
-            xc[::sx], yc[::sy], u[::sx, ::sy].T, v[::sx, ::sy].T, **kw
-        )
+        args = [xc[::sx], yc[::sy], u[::sx, ::sy].T, v[::sx, ::sy].T]
+        if self._rs is not None:
+            scalar = _field_scaled(p, np.asarray(self._rs(state)), "scalar")
+            args.append(scalar[::sx, ::sy].T)
+        q = ax.quiver(*args, **kw)
+        if self._rs is not None and p.get("cbar_on", False):
+            _add_colorbar(fig, ax, q, p)
         if p.get("quiverkey_on", False):
+            qk_kwargs = {
+                "labelpos": p.get("quiverkey_label_loc", "E"),
+                "color": p.get("quiverkey_color", None),
+            }
+            if "quiverkey_fontproperties" in p:
+                qk_kwargs["fontproperties"] = p["quiverkey_fontproperties"]
             ax.quiverkey(
                 q,
                 *p.get("quiverkey_loc", (0.85, 1.03)),
                 p.get("quiverkey_length", 1.0),
                 p.get("quiverkey_label", ""),
-                labelpos=p.get("quiverkey_label_loc", "E"),
-                color=p.get("quiverkey_color", None),
+                **qk_kwargs,
             )
 
 

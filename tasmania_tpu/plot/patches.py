@@ -7,6 +7,17 @@ from typing import Any, Mapping, Optional, Sequence
 
 from tasmania_tpu.plot.drawer import Drawer
 
+#: reference make_circle/make_rectangle flat keys -> matplotlib Patch kwargs
+_PATCH_KEYS = ("linewidth", "edgecolor", "facecolor", "alpha")
+
+
+def _patch_kwargs(props) -> dict:
+    kw = dict(props.get("patch_kwargs", {}))
+    for key in _PATCH_KEYS:
+        if key in props:
+            kw.setdefault(key, props[key])
+    return kw
+
 
 class Circle(Drawer):
     def __init__(self, center, radius, properties: Optional[Mapping[str, Any]] = None):
@@ -18,22 +29,24 @@ class Circle(Drawer):
 
         ax.add_patch(
             mpatches.Circle(
-                self._center, self._radius, **self.properties.get("patch_kwargs", {})
+                self._center, self._radius, **_patch_kwargs(self.properties)
             )
         )
 
 
 class Rectangle(Drawer):
-    def __init__(self, xy, width, height, properties: Optional[Mapping[str, Any]] = None):
+    def __init__(self, xy, width, height, angle=0.0,
+                 properties: Optional[Mapping[str, Any]] = None):
         super().__init__(properties)
-        self._xy, self._w, self._h = xy, width, height
+        self._xy, self._w, self._h, self._angle = xy, width, height, angle
 
     def __call__(self, state, fig, ax):
         import matplotlib.patches as mpatches
 
         ax.add_patch(
             mpatches.Rectangle(
-                self._xy, self._w, self._h, **self.properties.get("patch_kwargs", {})
+                self._xy, self._w, self._h, angle=self._angle,
+                **_patch_kwargs(self.properties)
             )
         )
 
@@ -44,7 +57,9 @@ class Segment(Drawer):
         self._x, self._y = x_data, y_data
 
     def __call__(self, state, fig, ax):
-        ax.plot(self._x, self._y, **self.properties.get("line_kwargs", {}))
+        from tasmania_tpu.plot.drawers import _line_kwargs
+
+        ax.plot(self._x, self._y, **_line_kwargs(self.properties))
 
 
 class Annotation(Drawer):

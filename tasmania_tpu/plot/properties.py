@@ -32,10 +32,14 @@ def set_figure_properties(fig, props: Optional[Mapping[str, Any]]) -> None:
 
     if "suptitle" in p:
         fig.suptitle(p["suptitle"], **_fs(fontsize, 1))
-    if "x_label" in p:
-        fig.supxlabel(p["x_label"], **_fs(fontsize))
-    if "y_label" in p:
-        fig.supylabel(p["y_label"], **_fs(fontsize))
+    # the reference spells these both "xlabel"/"ylabel" (plot_utils.py:216)
+    # and "x_label"/"y_label"; accept both
+    xl = p.get("x_label", p.get("xlabel", None))
+    if xl is not None:
+        fig.supxlabel(xl, **_fs(fontsize))
+    yl = p.get("y_label", p.get("ylabel", None))
+    if yl is not None:
+        fig.supylabel(yl, **_fs(fontsize))
 
     if p.get("tight_layout", False):
         kwargs = {}
@@ -52,12 +56,17 @@ def set_figure_properties(fig, props: Optional[Mapping[str, Any]]) -> None:
         for key in ("left", "right", "top", "bottom", "hspace", "wspace")
         if f"subplots_adjust_{key}" in p
     }
+    if "subplots_adjust_vspace" in p:  # reference alias for wspace
+        adjust.setdefault("wspace", p["subplots_adjust_vspace"])
     if adjust:
         fig.subplots_adjust(**adjust)
 
     if p.get("figlegend_on", False):
+        axes = fig.get_axes()
+        if "figlegend_ax" in p and axes:  # reference: take ONE axes' handles
+            axes = [axes[min(p["figlegend_ax"], len(axes) - 1)]]
         handles, labels = [], []
-        for ax in fig.get_axes():
+        for ax in axes:
             h, l = ax.get_legend_handles_labels()
             handles += h
             labels += l

@@ -264,3 +264,104 @@ def test_quiver_flat_keys(figax):
         },
     )
     d(state, fig, ax)
+
+
+def test_quiver_scalar_coloring_and_cbar(figax):
+    """Reference make_quiver: optional scalar colors the arrows and drives a
+    colorbar (``plot_utils.py`` scalar/scalar_bias/scalar_factor/cbar_*)."""
+    from tasmania_tpu.framework.field import FieldArray
+    from tasmania_tpu.plot.drawers import Quiver
+
+    fig, ax = figax
+    grid = _tiny_grid()
+    ones = np.ones((8, 6, 3))
+    rng = np.random.default_rng(1)
+    state = {
+        "u": FieldArray(ones, "m s^-1", ("x", "y", "z")),
+        "v": FieldArray(ones, "m s^-1", ("x", "y", "z")),
+        "T": FieldArray(rng.uniform(250, 300, (8, 6, 3)), "K", ("x", "y", "z")),
+    }
+    d = Quiver(
+        grid, "u", "v", "m s^-1", z=0, scalar_field="T", scalar_units="K",
+        properties={
+            "scalar_factor": 2.0, "cbar_on": True, "cmap_name": "plasma",
+            "quiverkey_on": True, "quiverkey_label": "1 m/s",
+            "quiverkey_fontproperties": {"size": 8},
+        },
+    )
+    d(state, fig, ax)
+    assert len(fig.get_axes()) == 2  # colorbar attached
+
+
+def test_draw_vertical_levels(figax):
+    from tasmania_tpu.framework.field import FieldArray
+    from tasmania_tpu.plot.drawers import Contourf
+
+    fig, ax = figax
+    grid = _tiny_grid()
+    rng = np.random.default_rng(0)
+    state = {
+        "phi": FieldArray(rng.uniform(0, 1, (8, 6, 3)), "m", ("x", "y", "z"))
+    }
+    d = Contourf(
+        grid, "phi", "m", y=0, xaxis="x", yaxis="z",
+        properties={"cbar_on": False, "draw_vertical_levels": True},
+    )
+    d(state, fig, ax)
+    nzl = len(np.asarray(grid.z_on_interface_levels.data))
+    assert len(ax.get_lines()) >= nzl  # one axhline per interface level
+
+
+def test_patch_flat_keys(figax):
+    from tasmania_tpu.plot.patches import Circle, Rectangle
+
+    fig, ax = figax
+    Circle((0.5, 0.5), 0.2, properties={"edgecolor": "red", "linewidth": 3})(
+        {}, fig, ax
+    )
+    Rectangle((0.0, 0.0), 1.0, 0.5, angle=15.0,
+              properties={"facecolor": "blue"})({}, fig, ax)
+    pc, pr = ax.patches
+    assert pc.get_edgecolor()[0] == 1.0 and pc.get_linewidth() == 3
+    assert pr.get_facecolor()[2] == 1.0
+    assert pr.angle == 15.0
+
+
+def test_figure_reference_aliases():
+    """xlabel/ylabel and subplots_adjust_vspace spellings from the reference
+    ``set_figure_properties`` docstring are honored."""
+    fig, _ = plt.subplots()
+    try:
+        set_figure_properties(
+            fig,
+            {
+                "xlabel": "XX",
+                "ylabel": "YY",
+                "subplots_adjust_vspace": 0.42,
+            },
+        )
+        assert fig.get_supxlabel() == "XX"
+        assert fig.get_supylabel() == "YY"
+        assert abs(fig.subplotpars.wspace - 0.42) < 1e-12
+    finally:
+        plt.close(fig)
+
+
+def test_cbar_ticks_pos(figax):
+    from tasmania_tpu.framework.field import FieldArray
+    from tasmania_tpu.plot.drawers import Contourf
+
+    fig, ax = figax
+    grid = _tiny_grid()
+    rng = np.random.default_rng(0)
+    state = {
+        "phi": FieldArray(rng.uniform(0, 1, (8, 6, 3)), "m", ("x", "y", "z"))
+    }
+    d = Contourf(
+        grid, "phi", "m", z=0,
+        properties={"cbar_ticks_pos": [0.25, 0.5, 0.75]},
+    )
+    d(state, fig, ax)
+    cax = fig.get_axes()[1]
+    ticks = [t for t in cax.get_yticks() if 0 <= t <= 1]
+    np.testing.assert_allclose(ticks, [0.25, 0.5, 0.75])
