@@ -16,6 +16,8 @@ the device.  Exact recurrences match the reference for allclose validation.
 
 from __future__ import annotations
 
+import os
+
 from typing import Optional, Tuple
 
 import numpy as np
@@ -134,6 +136,7 @@ class IsentropicDiagnostics(GridComponent, StencilFactory):
             s,
             hs3[:, :, 0],
             theta,
+            impl=os.environ.get("TASMANIA_DIAG_IMPL", "xla"),
             pt=float(pt),
             dz=self._dz,
             g=self.rpc["gravitational_acceleration"],

@@ -227,6 +227,17 @@ class IsentropicDynamicalCore(DynamicalCore):
         out = self._prognostic.stage_call_fused_epilogue(
             stage, timestep, raw_state, raw_tendencies, rmat=rmat, dtf=timestep
         )
+        if (
+            stage < self.stages - 1
+            and getattr(self._prognostic, "derive_velocities_at", None)
+            and self._prognostic.derive_velocities_at(
+                stage + 1, raw_state, raw_tendencies
+            )
+        ):
+            # the NEXT stage reconstructs the advective velocities inside its
+            # kernel from this stage's s/su/sv outputs; the u/v state entries
+            # are untouched (and unread) until the final stage refreshes them
+            return out
         if "x_velocity_at_u_locations" in out:
             # the whole-stage kernel diagnosed the velocities in VMEM
             u_new = out["x_velocity_at_u_locations"]

@@ -297,6 +297,25 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         nb = self.horizontal_boundary.nb
         return s.shape[0] - 2 * nb >= 4 and s.shape[1] >= 16
 
+    def derive_velocities_at(self, stage: int, state=None, tendencies=None) -> bool:
+        """Stages whose "int" state is the previous stage's FINISHED output
+        reconstruct the advective velocities INSIDE the whole-stage kernel
+        (bitwise-equal staggered divides of s/su/sv_int) instead of consuming
+        the u/v state fields — so the dycore skips the XLA velocity pass for
+        every non-final stage (r4; BENCH_NOTES r4_derive_velocities).  Stage 0
+        must use the state's u/v: the physics chain updates the momenta after
+        ``IsentropicVelocityComponents`` runs, so the step-input velocities
+        are NOT the divide of the step-input momenta (reference SUS order,
+        ``driver_namelist_sus.py:183-471``).  ``TASMANIA_DERIVE_UV=0``
+        disables (tuning/debug)."""
+        import os
+
+        if state is not None and not self._supports_stage_v2(state, tendencies):
+            # the two-kernel fallback consumes the u/v state fields at every
+            # stage — the dycore must keep refreshing them
+            return False
+        return stage > 0 and os.environ.get("TASMANIA_DERIVE_UV", "1") == "1"
+
     def stage_call_fused_v2(
         self, stage, timestep, state, tendencies, *, rmat=None, dtf=None
     ):
@@ -334,9 +353,10 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             rm = jnp.zeros((1, nz), dtype)
 
         q_names = (mfwv, mfcw, mfpw) if self._moist else ()
+        derive = self.derive_velocities_at(stage)
         outs = fused_si_stage(
-            state["x_velocity_at_u_locations"],
-            state["y_velocity_at_v_locations"],
+            None if derive else state["x_velocity_at_u_locations"],
+            None if derive else state["y_velocity_at_v_locations"],
             self._now["air_isentropic_density"],
             state["air_isentropic_density"],
             tuple(self._now[q] for q in q_names),
@@ -371,6 +391,7 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             nq=len(q_names),
             do_damp=do_damp,
             dd=dd,
+            derive_velocities=derive,
             interpret=self._backend == "pallas:interpret",
         )
         result = {

@@ -9,6 +9,8 @@ divergence, zero outside the ``extent``-deep top/bottom frame.
 
 from __future__ import annotations
 
+import os
+
 import math
 from typing import Dict, Optional, Tuple
 
@@ -155,6 +157,7 @@ class IsentropicVerticalAdvection(TendencyComponent):
             dt=float(dt),
             dz=dz,
             interpret=self.backend == "pallas:interpret",
+            impl=os.environ.get("TASMANIA_VADV_IMPL", "pallas"),
         )
         out = {
             name: FieldArray(arr, output_properties[name]["units"], DIMS)

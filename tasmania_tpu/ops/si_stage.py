@@ -94,7 +94,8 @@ def _div_from_views(order, dx, dy, nb, ny, uf, vf, xs, ybase):
     static_argnames=(
         "order", "nb", "nr", "dt", "dtf", "dx", "dy", "eps",
         "pt", "dz", "g", "cp", "rd", "pref",
-        "nq", "do_damp", "dd", "with_velocities", "tile_x", "interpret",
+        "nq", "do_damp", "dd", "with_velocities", "derive_velocities",
+        "tile_x", "interpret",
     ),
 )
 def fused_si_stage(
@@ -136,6 +137,7 @@ def fused_si_stage(
     do_damp: bool,
     dd: int,     # damp depth: rmat[:, dd:] must be exactly zero
     with_velocities: bool = False,
+    derive_velocities: bool = False,
     tile_x: int = _STAGE_TILE_X,
     interpret: bool = False,
 ):
@@ -146,6 +148,19 @@ def fused_si_stage(
     nx, ny, nz = s_now.shape
     e = 2 if order == 3 else 3
     assert order in (3, 5) and nb >= e
+    # derive_velocities (r4): for stages whose "int" state is the previous
+    # stage's FINISHED output, the advective velocities are exactly the
+    # staggered divides of (s_int, su_int, sv_int) — the faces this kernel
+    # consumes (global [nb-1, nx-nb+2) / [nb, ny-nb+1)) never touch the
+    # set_outermost-pinned global faces, so deriving them in-kernel from the
+    # already-fetched stencil windows is bitwise identical to the XLA
+    # velocity pass while saving its 5 HBM sweeps and the u/v input reads.
+    # NOT valid for stage 0: the step-input u/v are physics-produced
+    # (vertical advection updates momenta AFTER IsentropicVelocityComponents
+    # ran), so they are not the divide of the current s/su/sv.
+    assert not (derive_velocities and with_velocities)
+    if derive_velocities:
+        assert u is None and v is None
     assert nr <= _YB <= ny // 2 and nb <= nr
     assert len(q_now) == len(q_int) == len(q_refs) == nq
     NXI = nx - 2 * nb
@@ -164,8 +179,13 @@ def fused_si_stage(
 
     def kernel(*refs):
         refs, spad_ref, supad_ref, svpad_ref = refs[:-3], *refs[-3:]
-        (u_ref, v_ref, sn_ref, si_ref) = refs[:4]
-        pos = 4
+        if derive_velocities:
+            (sn_ref, si_ref) = refs[:2]
+            u_ref = v_ref = None
+            pos = 2
+        else:
+            (u_ref, v_ref, sn_ref, si_ref) = refs[:4]
+            pos = 4
         qn_refs = refs[pos : pos + nq]; pos += nq
         qi_refs = refs[pos : pos + nq]; pos += nq
         (sun_ref, svn_ref, sui_ref, svi_ref, mn_ref,
@@ -201,8 +221,25 @@ def fused_si_stage(
         fill_pad(supad_ref, sui_ref[:], WIN_M)
         fill_pad(svpad_ref, svi_ref[:], WIN_M)
 
-        uf = u_ref[:]            # (TX+3+VX, ny, nz) faces [t0-1-VX, t0+TX+2)
-        vf = v_ref[:]            # (Wm, ny+1, nz)
+        if derive_velocities:
+            # u faces [t0-1-VX, t0+TX+2) need cells [t0-2-VX, t0+TX+2) of
+            # s_int/su_int — always real array cells (t0 >= nb >= e >= 2)
+            # inside the already-filled stencil pads
+            scm = spad_ref[pl.ds(_P + del_s + e - 1, TX + 4 + VX)]
+            sucm = supad_ref[pl.ds(_P + del_m + e - 2, TX + 4 + VX)]
+            uf = (sucm[:-1] + sucm[1:]) / (scm[:-1] + scm[1:])
+            # v faces [nb, ny-nb+1) from cells of the Wm window; outermost
+            # (never-consumed) y faces zero-filled
+            sc_wm = spad_ref[pl.ds(_P + del_s + e, Wm)]
+            svc_wm = svpad_ref[pl.ds(_P + del_m + e - 1, Wm)]
+            v_in = (svc_wm[:, :-1] + svc_wm[:, 1:]) / (
+                sc_wm[:, :-1] + sc_wm[:, 1:]
+            )
+            zvf = jnp.zeros_like(v_in[:, :1])
+            vf = jnp.concatenate([zvf, v_in, zvf], axis=1)
+        else:
+            uf = u_ref[:]        # (TX+3+VX, ny, nz) faces [t0-1-VX, t0+TX+2)
+            vf = v_ref[:]        # (Wm, ny+1, nz)
         s_now_w = sn_ref[:]      # (Wm, ny, nz)
 
         # --- density advection on the Wm window --------------------------- #
@@ -428,7 +465,8 @@ def fused_si_stage(
             vmem_limit_bytes=120 * 1024 * 1024
         ),
         in_specs=(
-            [u_spec, v_spec, wm_spec, s_int_spec]
+            ([] if derive_velocities else [u_spec, v_spec])
+            + [wm_spec, s_int_spec]
             + [c_spec] * nq
             + [h_spec_q := em(TX + 2 * e, -e)] * nq
             + [wp_spec, wp_spec, m_int_spec, m_int_spec, wm_spec]
@@ -446,7 +484,8 @@ def fused_si_stage(
         ],
         interpret=interpret,
     )(
-        u, v, s_now, s_int, *q_now, *q_int, su_now, sv_now, su_int, sv_int,
+        *(() if derive_velocities else (u, v)),
+        s_now, s_int, *q_now, *q_int, su_now, sv_now, su_int, sv_int,
         mtg_now, hs3, theta, g3, s_ref, su_yb, sv_yb, *q_ybs,
         su_top, sv_top, rm_top,
     )

@@ -1,13 +1,23 @@
-"""Pallas TPU kernel: fused RK3WS step of explicit vertical advection.
+"""Fused RK3WS step of explicit vertical advection (Pallas kernel).
 
 The SUS physics chain time-integrates ``IsentropicVerticalAdvection`` with a
 three-stage Wicker--Skamarock RK (reference
 ``drivers/benchmarking/isentropic_moist/driver_namelist_sus.py:322-341``,
 stepper algebra ``framework/subclasses/tendency_steppers/rk3ws.py:61-160``).
-Vertical advection is column-local, so all three stages fit in VMEM per
-x-tile: the kernel reads the 7 input fields once and writes the 6 stepped
-fields once (~13 HBM sweeps), where the generic stepper path re-reads the
-state and materializes 6 tendencies per stage (~40+ sweeps).
+Vertical advection is column-local, so all three stages fuse: the step reads
+the 7 input fields once and writes the 6 stepped fields once (~13 HBM
+sweeps), where the generic stepper path re-reads the state and materializes 6
+tendencies per stage (~40+ sweeps).
+
+Implementation note (round-4 measurements, BENCH_NOTES r4_xla_vs_pallas):
+an isolated fori-loop microbenchmark measured the XLA-compiled expression at
+0.112 ms vs 0.785 for the Pallas kernel — but swapping it into the real step
+REGRESSED the end-to-end bench by 1.35 ms/step: the microbenchmark let XLA
+keep the loop-invariant operands VMEM-resident, which the full program
+cannot, and the pad/concat intermediates then materialize in HBM.  The
+Pallas kernel (tile_x=8, r4-tuned) remains the production path; the XLA
+variant stays selectable (``impl="xla"``) and shares the SAME arithmetic
+(bitwise-identical outputs).
 
 Flux formulas replicate ``isentropic/dynamics/vertical_fluxes.py`` (reference
 ``subclasses/minimal_vertical_fluxes/*``) exactly; the per-stage algebra is
@@ -33,7 +43,7 @@ def _vflux(order: int, wf, aw, bw, pw):
     """Vertical flux at interior interfaces; ``pw[k]`` is phi shifted by k
     relative to the interface (k in -extent..extent-1).  ``aw``/``bw`` are
     the precomputed weight arrays wf/denom and |wf|/denom — shared by all
-    18 tendency evaluations of the RK3WS kernel (6 fields x 3 stages), so
+    18 tendency evaluations of the RK3WS step (6 fields x 3 stages), so
     the divide-by-denominator and abs happen once, not per call."""
     if order == 1:
         return wf * jnp.where(wf > 0.0, pw[0], pw[-1])
@@ -52,9 +62,54 @@ def _vflux(order: int, wf, aw, bw, pw):
     raise ValueError(f"unsupported vertical flux order {order}")
 
 
+def _rk3ws_update(wm, s0, su0, sv0, q0, *, order, dt, dz):
+    """The shared 3-stage update on (…, nz) arrays — used verbatim by BOTH
+    the XLA path and the Pallas kernel body, so the two are bitwise equal."""
+    nz = s0.shape[-1]
+    e = _EXTENT[order]
+    c1, c2, c3 = dt / 3.0, dt / 2.0, dt
+    denom = {3: 12.0, 5: 60.0}.get(order)
+
+    # shared flux weights, computed once for all 18 tendency evaluations
+    wf_k = 0.5 * (wm[..., e - 1 : nz - e] + wm[..., e : nz + 1 - e])
+    aw_k = wf_k / denom if denom is not None else None
+    bw_k = jnp.abs(wf_k) / denom if denom is not None else None
+
+    def tendency_core(phi):
+        pw = {k: phi[..., e + k : nz + 1 - e + k] for k in range(-e, e)}
+        f = _vflux(order, wf_k, aw_k, bw_k, pw)
+        return (f[..., 1:] - f[..., :-1]) / dz  # levels [e, nz-e)
+
+    def padz(d):
+        z = jnp.zeros(d.shape[:-1] + (e,), d.dtype)
+        return jnp.concatenate([z, d, z], axis=-1)
+
+    def stage(c, sx, sux, svx, qx):
+        s_new = s0 + c * padz(tendency_core(sx))
+        su_new = su0 + c * padz(tendency_core(sux))
+        sv_new = sv0 + c * padz(tendency_core(svx))
+        if not q0:
+            return s_new, su_new, sv_new, ()
+        # one reciprocal per stage instead of one divide per species:
+        # the three q tendencies share the divisor (VPU divides are
+        # multi-pass; rtol 1e-6 vs the generic stepper absorbs the
+        # 1-ulp a*(1/b) vs a/b difference)
+        inv_s = 1.0 / sx[..., e : nz - e]
+        q_new = tuple(
+            qb + c * padz(tendency_core(sx * qx_i) * inv_s)
+            for qb, qx_i in zip(q0, qx)
+        )
+        return s_new, su_new, sv_new, q_new
+
+    s1, su1, sv1, q1 = stage(c1, s0, su0, sv0, q0)
+    s2, su2, sv2, q2 = stage(c2, s1, su1, sv1, q1)
+    s3, su3, sv3, q3 = stage(c3, s2, su2, sv2, q2)
+    return (s3, su3, sv3) + q3
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("order", "dt", "dz", "tile_x", "interpret"),
+    static_argnames=("order", "dt", "dz", "tile_x", "interpret", "impl"),
 )
 def fused_vertical_advection_rk3ws(
     w,
@@ -68,8 +123,9 @@ def fused_vertical_advection_rk3ws(
     order: int = 3,
     dt: float = 1.0,
     dz: float = 1.0,
-    tile_x: int = 16,
+    tile_x: int = 8,
     interpret: bool = False,
+    impl: str = "pallas",
 ):
     """Three-stage RK3WS update of (s, su, sv[, qv, qc, qr]) under vertical
     advection with main-level velocity ``w = d(theta)/dt``.
@@ -78,71 +134,41 @@ def fused_vertical_advection_rk3ws(
       w: (nx, ny, nz) tendency of air potential temperature (main levels).
       s, su, sv: (nx, ny, nz) isentropic density and momenta.
       qv, qc, qr: optional (nx, ny, nz) mass fractions (all or none).
+      impl: "pallas" (default) or "xla".  The r4 microbenchmark measured
+        the XLA expression at 0.112 ms vs pallas 0.785 — but IN the real
+        step program the XLA variant costs +1.35 ms (bench combo table,
+        BENCH_NOTES r4_xla_vs_pallas): the isolated fori-loop harness let
+        XLA keep the six loop-invariant operands VMEM-resident, which the
+        real chain cannot; the 18 pad/concat intermediates then materialize.
+        tile_x=8 is the r4-tuned kernel width (0.606 ms vs 0.785 at 16).
 
     Returns:
       tuple of stepped fields in the same order as the inputs (w excluded).
     """
     nx, ny, nz = s.shape
-    e = _EXTENT[order]
     moist = qv is not None
+    q0 = (qv, qc, qr) if moist else ()
+
+    if impl == "xla":
+        return _rk3ws_update(w, s, su, sv, q0, order=order, dt=dt, dz=dz)
+
     TX = min(tile_x, nx)
     NT = pl.cdiv(nx, TX)
-    c1, c2, c3 = dt / 3.0, dt / 2.0, dt
-
-    denom = {3: 12.0, 5: 60.0}.get(order)
-
-    def tendency_core(wm, phi, aw=None, bw=None):
-        # interface velocity on interior interfaces m in [e, nz+1-e)
-        wf = 0.5 * (wm[..., e - 1 : nz - e] + wm[..., e : nz + 1 - e])
-        if aw is None and denom is not None:
-            aw, bw = wf / denom, jnp.abs(wf) / denom
-        pw = {k: phi[..., e + k : nz + 1 - e + k] for k in range(-e, e)}
-        f = _vflux(order, wf, aw, bw, pw)
-        return (f[..., 1:] - f[..., :-1]) / dz  # levels [e, nz-e)
-
-    def padz(d):
-        z = jnp.zeros(d.shape[:-1] + (e,), d.dtype)
-        return jnp.concatenate([z, d, z], axis=-1)
 
     def kernel(*refs):
         if moist:
             w_r, s_r, su_r, sv_r, qv_r, qc_r, qr_r = refs[:7]
             outs = refs[7:]
+            qk = (qv_r[:], qc_r[:], qr_r[:])
         else:
             w_r, s_r, su_r, sv_r = refs[:4]
             outs = refs[4:]
-        wm = w_r[:]
-        s0, su0, sv0 = s_r[:], su_r[:], sv_r[:]
-        q0 = (qv_r[:], qc_r[:], qr_r[:]) if moist else ()
-        # shared flux weights, computed once for all 18 tendency evaluations
-        wf_k = 0.5 * (wm[..., e - 1 : nz - e] + wm[..., e : nz + 1 - e])
-        aw_k = wf_k / denom if denom is not None else None
-        bw_k = jnp.abs(wf_k) / denom if denom is not None else None
-
-        def stage(c, sx, sux, svx, qx):
-            s_new = s0 + c * padz(tendency_core(wm, sx, aw_k, bw_k))
-            su_new = su0 + c * padz(tendency_core(wm, sux, aw_k, bw_k))
-            sv_new = sv0 + c * padz(tendency_core(wm, svx, aw_k, bw_k))
-            # one reciprocal per stage instead of one divide per species:
-            # the three q tendencies share the divisor (VPU divides are
-            # multi-pass; rtol 1e-6 vs the generic stepper absorbs the
-            # 1-ulp a*(1/b) vs a/b difference)
-            inv_s = 1.0 / sx[..., e : nz - e]
-            q_new = tuple(
-                qb + c * padz(tendency_core(wm, sx * qx_i, aw_k, bw_k) * inv_s)
-                for qb, qx_i in zip(q0, qx)
-            )
-            return s_new, su_new, sv_new, q_new
-
-        s1, su1, sv1, q1 = stage(c1, s0, su0, sv0, q0)
-        s2, su2, sv2, q2 = stage(c2, s1, su1, sv1, q1)
-        s3, su3, sv3, q3 = stage(c3, s2, su2, sv2, q2)
-
-        outs[0][:] = s3
-        outs[1][:] = su3
-        outs[2][:] = sv3
-        for o, q in zip(outs[3:], q3):
-            o[:] = q
+            qk = ()
+        res = _rk3ws_update(
+            w_r[:], s_r[:], su_r[:], sv_r[:], qk, order=order, dt=dt, dz=dz
+        )
+        for o, r in zip(outs, res):
+            o[:] = r
 
     spec = pl.BlockSpec((TX, ny, nz), lambda ix: (ix, 0, 0), memory_space=pltpu.VMEM)
     args = [w, s, su, sv] + ([qv, qc, qr] if moist else [])

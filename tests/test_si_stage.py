@@ -22,7 +22,12 @@ from tests.test_fused_epilogue import _raw_inputs, build
 
 
 def _stage_outputs(core, raw, dt, mode):
+    # TASMANIA_DERIVE_UV=0: these checks feed the SAME raw inputs to every
+    # stage in isolation, where the derive-velocities contract (u/v == divide
+    # of the int state) does not hold; the derive path is covered by the
+    # chained test_derive_velocities_chain_bitwise below.
     os.environ["TASMANIA_FUSE_STAGE"] = mode
+    os.environ["TASMANIA_DERIVE_UV"] = "0"
     try:
         outs = []
         for stage in range(core.stages):
@@ -30,6 +35,7 @@ def _stage_outputs(core, raw, dt, mode):
         return outs
     finally:
         os.environ["TASMANIA_FUSE_STAGE"] = "1"
+        del os.environ["TASMANIA_DERIVE_UV"]
 
 
 @pytest.mark.parametrize("moist,damp", [
@@ -153,3 +159,34 @@ def test_stage_v2_with_velocities_flag():
     np.testing.assert_allclose(v_o[:, 1:ny], v_ref, rtol=1e-6)
     assert np.all(u_o[0] == 0) and np.all(u_o[nx] == 0)
     assert np.all(v_o[:, 0] == 0) and np.all(v_o[:, ny] == 0)
+
+
+
+def test_derive_velocities_chain_bitwise(rng):
+    """TASMANIA_DERIVE_UV=1 (stages >= 1 reconstruct the advective velocities
+    inside the whole-stage kernel) must reproduce the refresh-every-stage
+    chain BITWISE through the real 3-stage dycore step — the consumed faces
+    are pure staggered divides of the previous stage's finished fields in
+    both paths (ops/si_stage.py derive_velocities)."""
+    from datetime import timedelta
+
+    from tasmania_tpu.framework.field import FieldArray
+
+    core, state = build(True, True)
+    names = sorted(k for k in state if k != "time")
+
+    def run(flag):
+        os.environ["TASMANIA_FUSE_STAGE"] = "2"
+        os.environ["TASMANIA_DERIVE_UV"] = flag
+        try:
+            out = core(dict(state), {}, 10.0)
+        finally:
+            os.environ["TASMANIA_FUSE_STAGE"] = "1"
+            del os.environ["TASMANIA_DERIVE_UV"]
+        return {k: np.asarray(out[k].data) for k in names if k in out}
+
+    a = run("0")
+    b = run("1")
+    assert set(a) == set(b)
+    for name in sorted(a):
+        np.testing.assert_array_equal(a[name], b[name], err_msg=name)
