@@ -133,7 +133,14 @@ def st_state(draw, grid, properties, lo: float = 0.5, hi: float = 2.0, backend="
 
 @hyp_st.composite
 def st_isentropic_state(
-    draw, grid, moist: bool = False, precipitation: bool = False, backend: str = "jax"
+    draw,
+    grid,
+    moist: bool = False,
+    precipitation: bool = False,
+    backend: str = "jax",
+    u_range: Tuple[float, float] = (-30.0, 30.0),
+    v_range: Tuple[float, float] = (-10.0, 10.0),
+    n_range: Tuple[float, float] = (0.005, 0.02),
 ):
     """A balanced isentropic state from randomly-drawn Brunt–Väisälä frequency,
     background flow and humidity (reference ``st_isentropic_state_f``,
@@ -146,9 +153,9 @@ def st_isentropic_state(
     state = get_isentropic_state_from_brunt_vaisala_frequency(
         grid,
         datetime(2000, 1, 1, draw(hyp_st.integers(0, 23))),
-        FieldArray(np.asarray(draw(hyp_st.floats(-30.0, 30.0))), "m s^-1", ()),
-        FieldArray(np.asarray(draw(hyp_st.floats(-10.0, 10.0))), "m s^-1", ()),
-        FieldArray(np.asarray(draw(hyp_st.floats(0.005, 0.02))), "s^-1", ()),
+        FieldArray(np.asarray(draw(hyp_st.floats(*u_range))), "m s^-1", ()),
+        FieldArray(np.asarray(draw(hyp_st.floats(*v_range))), "m s^-1", ()),
+        FieldArray(np.asarray(draw(hyp_st.floats(*n_range))), "s^-1", ()),
         moist=moist,
         precipitation=precipitation,
         relative_humidity=draw(hyp_st.floats(0.1, 0.95)),
@@ -505,3 +512,60 @@ def st_domain_suite(
         boundary_kwargs=kwargs,
         backend=backend,
     )
+
+
+@hyp_st.composite
+def st_splitting_schemes(draw, n_range: Tuple[int, int] = (1, 3)):
+    """A drawn list of (scheme, substeps) time-integration choices for the
+    splitting couplers (reference ``TimeIntegrationOptions`` usage in
+    ``driver_namelist_*.py``)."""
+    n = draw(hyp_st.integers(*n_range))
+    return [
+        (
+            draw(hyp_st.sampled_from(("forward_euler", "rk2", "rk3ws"))),
+            draw(hyp_st.integers(1, 3)),
+        )
+        for _ in range(n)
+    ]
+
+
+@hyp_st.composite
+def st_units_pair(draw):
+    """(units_a, units_b, factor) with units_b = scaled spelling of units_a —
+    the conversion-law axis of the units layer."""
+    base, alt, factor = draw(
+        hyp_st.sampled_from(
+            [
+                ("m", "km", 1e-3),
+                ("m s^-1", "km hr^-1", 3.6),
+                ("Pa", "hPa", 1e-2),
+                ("kg m^-2", "g cm^-2", 0.1),
+                ("g g^-1", "g kg^-1", 1e3),
+                ("K", "K", 1.0),
+            ]
+        )
+    )
+    return base, alt, factor
+
+
+@hyp_st.composite
+def st_state_dict_pair(
+    draw,
+    shape: Tuple[int, ...] = (5, 4, 3),
+    names: Tuple[str, ...] = ("phi", "psi"),
+    units: str = "m",
+    backend: str = "jax",
+):
+    """Two states over the same fields (same units), for DictOperator laws."""
+    a = {"time": datetime(2000, 1, 1)}
+    b = {"time": datetime(2000, 1, 1)}
+    for n in names:
+        a[n] = FieldArray(
+            draw(st_raw_field(shape, -2.0, 2.0, backend=backend)), units,
+            ("x", "y", "z"),
+        )
+        b[n] = FieldArray(
+            draw(st_raw_field(shape, -2.0, 2.0, backend=backend)), units,
+            ("x", "y", "z"),
+        )
+    return a, b

@@ -309,6 +309,9 @@ def test_concurrent_coupling_linear_sum(data):
             np.asarray(tends["phi"].data),
             sum(coeffs) * np.asarray(phi),
             rtol=1e-12,
+            # drawn coefficients may nearly cancel; the summed tendency is
+            # then rounding-level noise around zero
+            atol=1e-12 * max(1.0, max(abs(c) for c in coeffs)),
             err_msg=policy,
         )
 
@@ -436,3 +439,235 @@ def test_fall_velocity_formula_on_drawn_columns(data):
     )
     np.testing.assert_allclose(vt, expected, rtol=1e-6)
     assert np.all(vt[qr_np <= 0.0] == 0.0)
+
+
+# --------------------------------------------------------------------------- #
+# splitting couplers over drawn components/schemes                             #
+# --------------------------------------------------------------------------- #
+
+_STAGE_ORACLE = {
+    "forward_euler": lambda phi, f, dt: phi + dt * f(phi),
+    "rk2": lambda phi, f, dt: phi + dt * f(phi + 0.5 * dt * f(phi)),
+    "rk3ws": lambda phi, f, dt: phi
+    + dt * f(phi + 0.5 * dt * f(phi + dt / 3.0 * f(phi))),
+}
+
+
+@hyp
+@given(data=hyp_st.data())
+def test_sus_splitting_matches_sequential_oracle(data):
+    """SequentialUpdateSplitting over drawn linear components with drawn
+    schemes AND substep counts: processes apply one after another, each
+    refining its timestep into equal substeps (Donahue & Caldwell ordering,
+    reference ``sequential_update_splitting.py:52,144``)."""
+    from tasmania_tpu.framework import (
+        SequentialUpdateSplitting,
+        TimeIntegrationOptions,
+    )
+    from strategies import st_splitting_schemes
+
+    domain = data.draw(st_domain(boundary_types=("identity",), nz_range=(1, 3)))
+    comps, coeffs = data.draw(
+        st_linear_tendency_components(domain, n_range=(1, 3))
+    )
+    schemes = data.draw(st_splitting_schemes((len(comps), len(comps))))
+    dt = data.draw(st_timestep(0.5, 5.0))
+    g = domain.numerical_grid
+    phi0 = np.asarray(data.draw(st_raw_field((g.nx, g.ny, g.nz), 0.5, 2.0)))
+
+    sus = SequentialUpdateSplitting(
+        *[
+            TimeIntegrationOptions(c, scheme=s, substeps=n)
+            for c, (s, n) in zip(comps, schemes)
+        ]
+    )
+    state = {
+        "time": datetime(2000, 1, 1),
+        "phi": FieldArray(jnp.asarray(phi0), "m s^-1", DIMS3),
+    }
+    td = timedelta(seconds=dt)
+    out = sus(state, td)
+    dt_q = td.total_seconds()
+
+    expected = phi0
+    for a, (scheme, substeps) in zip(coeffs, schemes):
+        f = lambda p, a=a: a * p
+        # the coupler divides the TIMEDELTA, re-quantizing to microseconds
+        sub_dt = (td / substeps).total_seconds()
+        for _ in range(substeps):
+            expected = _STAGE_ORACLE[scheme](expected, f, sub_dt)
+    np.testing.assert_allclose(
+        np.asarray(out["phi"].data), expected, rtol=1e-11
+    )
+
+
+@hyp
+@given(data=hyp_st.data())
+def test_sts_splitting_matches_oracle(data):
+    """SequentialTendencySplitting: each stepper consumes the (current,
+    provisional) pair (reference ``sequential_tendency_splitting.py:51``)."""
+    from tasmania_tpu.framework import (
+        SequentialTendencySplitting,
+        TimeIntegrationOptions,
+    )
+
+    domain = data.draw(st_domain(boundary_types=("identity",), nz_range=(1, 3)))
+    comps, coeffs = data.draw(
+        st_linear_tendency_components(domain, n_range=(1, 2))
+    )
+    dt = data.draw(st_timestep(0.5, 5.0))
+    g = domain.numerical_grid
+    phi0 = np.asarray(data.draw(st_raw_field((g.nx, g.ny, g.nz), 0.5, 2.0)))
+    prv0 = np.asarray(data.draw(st_raw_field((g.nx, g.ny, g.nz), 0.5, 2.0)))
+
+    sts = SequentialTendencySplitting(
+        *[TimeIntegrationOptions(c, scheme="forward_euler") for c in comps]
+    )
+    state = {
+        "time": datetime(2000, 1, 1),
+        "phi": FieldArray(jnp.asarray(phi0), "m s^-1", DIMS3),
+    }
+    prv = {
+        "time": datetime(2000, 1, 1),
+        "phi": FieldArray(jnp.asarray(prv0), "m s^-1", DIMS3),
+    }
+    td = timedelta(seconds=dt)
+    _, out = sts(state, prv, td)
+    dt_q = td.total_seconds()
+
+    # STS forward euler: prv_{i} = prv_{i-1} + dt * f(current); each process
+    # evaluates the tendency at the ORIGINAL current state
+    expected = prv0
+    for a in coeffs:
+        expected = expected + dt_q * a * phi0
+    np.testing.assert_allclose(
+        np.asarray(out["phi"].data), expected, rtol=1e-11
+    )
+
+
+# --------------------------------------------------------------------------- #
+# dict-operator and units laws                                                 #
+# --------------------------------------------------------------------------- #
+
+
+@hyp
+@given(data=hyp_st.data())
+def test_dict_operator_laws(data):
+    """fma/add/sub/addsub over drawn state pairs match elementwise numpy."""
+    from tasmania_tpu.framework.dict_operator import DictOperator
+    from strategies import st_state_dict_pair
+
+    a, b = data.draw(st_state_dict_pair())
+    dt = data.draw(st_timestep(0.1, 10.0))
+    op = DictOperator()
+    an = {k: np.asarray(v.data) for k, v in a.items() if k != "time"}
+    bn = {k: np.asarray(v.data) for k, v in b.items() if k != "time"}
+
+    tend = {"time": b["time"]}
+    for k in bn:
+        tend[k] = FieldArray(b[k].data, b[k].units + " s^-1", b[k].dims)
+    out = op.fma(a, tend, dt)
+    for k in an:
+        np.testing.assert_allclose(
+            np.asarray(out[k].data), an[k] + dt * bn[k], rtol=1e-12
+        )
+    out = op.add(a, b)
+    for k in an:
+        np.testing.assert_allclose(
+            np.asarray(out[k].data), an[k] + bn[k], rtol=1e-12
+        )
+    out = op.addsub(a, b, b)
+    for k in an:
+        np.testing.assert_allclose(
+            np.asarray(out[k].data), an[k], atol=1e-12
+        )
+
+
+@hyp
+@given(data=hyp_st.data())
+def test_units_conversion_roundtrip(data):
+    """to_units there-and-back is exact up to the scale factor (drawn
+    conversion-rich unit pairs)."""
+    from strategies import st_units_pair
+
+    base, alt, factor = data.draw(st_units_pair())
+    vals = data.draw(st_raw_field((4, 3, 2), 0.5, 2.0, backend="numpy"))
+    f = FieldArray(vals, base, DIMS3)
+    g = f.to_units(alt)
+    np.testing.assert_allclose(np.asarray(g.data), vals * factor, rtol=1e-12)
+    back = g.to_units(base)
+    np.testing.assert_allclose(np.asarray(back.data), vals, rtol=1e-12)
+
+
+@hyp
+@given(data=hyp_st.data())
+def test_isentropic_state_hydrostatic_consistency(data):
+    """Drawn balanced states from the production factory: pressure increases
+    downward, heights decrease, and the staggered velocities are consistent
+    with the momenta (u = su/s averaged to faces) in the interior."""
+    domain = data.draw(
+        st_domain(
+            boundary_types=("identity",),
+            nx_range=(7, 12),
+            ny_range=(7, 12),
+            nz_range=(3, 6),
+        )
+    )
+    from strategies import st_isentropic_state
+
+    # modest flow/stratification: strong drawn shear over a short domain can
+    # legitimately produce an unbalanced (negative-density) column, which is
+    # outside the manifold this law quantifies over
+    state = data.draw(
+        st_isentropic_state(
+            domain.numerical_grid, moist=True,
+            u_range=(-10.0, 10.0), v_range=(-5.0, 5.0),
+            n_range=(0.009, 0.02),
+        )
+    )
+    from hypothesis import assume
+
+    p = np.asarray(state["air_pressure_on_interface_levels"].data)
+    h = np.asarray(state["height_on_interface_levels"].data)
+    s = np.asarray(state["air_isentropic_density"].data)
+    # restrict to the physically-balanced manifold: extreme draws (strong
+    # flow over a coarse drawn theta-grid) can yield negative densities
+    assume(np.all(s > 0.0))
+    assert np.all(np.diff(p, axis=2) > 0.0), "p must increase downward"
+    assert np.all(np.diff(h, axis=2) < 0.0), "h must decrease with k"
+    assert np.all(s > 0.0)
+    qv = np.asarray(
+        state["mass_fraction_of_water_vapor_in_air"].data
+    )
+    assert np.all(qv >= 0.0) and np.all(qv < 0.2)
+
+
+@hyp
+@given(data=hyp_st.data())
+def test_burgers_state_strategy_shapes(data):
+    from strategies import st_burgers_state
+
+    domain = data.draw(
+        st_domain(boundary_types=("periodic",), nz_range=(1, 2))
+    )
+    g = domain.numerical_grid
+    state = data.draw(st_burgers_state(g))
+    assert state["x_velocity"].data.shape == (g.nx, g.ny, 1)
+    assert state["y_velocity"].units == "m s^-1"
+
+
+@hyp
+@given(data=hyp_st.data())
+def test_boundary_factory_grid_arithmetic(data):
+    """st_horizontal_boundary: numerical-grid extents follow the type rule —
+    periodic pads nb layers each side (reference ``periodic.py:32`` ni =
+    nx + 2nb), every other type keeps the physical extents."""
+    from strategies import st_horizontal_boundary
+
+    domain = data.draw(st_domain(boundary_types=("identity",)))
+    pg = domain.physical_grid
+    hb = data.draw(st_horizontal_boundary(pg))
+    if type(hb).__name__.lower().startswith("periodic"):
+        assert hb.ni == pg.nx + 2 * hb.nb and hb.nj == pg.ny + 2 * hb.nb
+    else:
+        assert hb.ni == pg.nx and hb.nj == pg.ny
