@@ -28,7 +28,7 @@ import numpy as np
 VARIANTS = ("fc", "lfc", "ps", "sts", "sus", "ssus")
 
 
-def bench_variant(coupling: str, nt: int):
+def bench_variant(coupling: str, nt: int, backend: str = "pallas"):
     import jax
     import jax.numpy as jnp
 
@@ -37,6 +37,7 @@ def bench_variant(coupling: str, nt: int):
 
     nl = importlib.import_module(f"drivers.namelist_{coupling}")
     importlib.reload(nl)
+    nl.backend = backend
 
     domain, state, step_impl = build_variant(nl, coupling)
     cgrid = domain.numerical_grid
@@ -98,6 +99,7 @@ def bench_variant(coupling: str, nt: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nt", type=int, default=50)
+    ap.add_argument("--backend", type=str, default="pallas")
     ap.add_argument("--variants", type=str, default=",".join(VARIANTS))
     ap.add_argument("--write", action="store_true")
     cli = ap.parse_args()
@@ -108,7 +110,7 @@ def main():
     print(f"coupling-variant bench on {dev.platform} ({dev.device_kind})")
     rows = {}
     for var in cli.variants.split(","):
-        rows[var] = bench_variant(var, cli.nt)
+        rows[var] = bench_variant(var, cli.nt, cli.backend)
         print(json.dumps({var: rows[var]}), flush=True)
 
     if cli.write:
@@ -116,7 +118,7 @@ def main():
         notes = json.loads(notes_path.read_text())
         notes["coupling_variant_bench"] = {
             "method": "slope-timed in-jit fori_loop, in-trace topo growth, "
-            f"nt={cli.nt}, flagship grid, pallas backend",
+            f"nt={cli.nt}, flagship grid, {cli.backend} backend",
             "chip": f"{dev.platform} ({dev.device_kind})",
             "variants": rows,
         }

@@ -276,11 +276,20 @@ def main():
     # across the fori_loop and the "copy" never touches HBM (measured
     # 1547 GB/s — above the chip's 819 GB/s spec — with a 12 MB carry);
     # stream ~200 MB so the loop is honestly HBM-bound.
+    # MEDIAN of >= 5 measurements with the spread reported: the single-shot
+    # denominator swung 484-580 GB/s run-to-run on this shared chip and put
+    # two committed documents 15 points apart (VERDICT r3 weak #1).
     big = _mk(99, 16 * NX, NY, NZ)
-    copy_ms = time_loop(lambda c: c + 1.0, big, max(cli.nt // 4, 10))
-    hbm_gbs = 2 * big.nbytes / (copy_ms * 1e-3) / 1e9
-    print(f"practical HBM copy bandwidth: {hbm_gbs:6.1f} GB/s "
-          f"({copy_ms:.3f} ms for r+w of {big.nbytes/1e6:.0f} MB)\n")
+    samples = sorted(
+        2 * big.nbytes
+        / (time_loop(lambda c: c + 1.0, big, max(cli.nt // 4, 10)) * 1e-3)
+        / 1e9
+        for _ in range(5)
+    )
+    hbm_gbs = samples[len(samples) // 2]
+    print(f"practical HBM copy bandwidth: median {hbm_gbs:6.1f} GB/s "
+          f"of {len(samples)} runs, spread [{samples[0]:.1f}, {samples[-1]:.1f}] "
+          f"(r+w of {big.nbytes/1e6:.0f} MB)\n")
     print(f"{'kernel':40s} {'ms':>8s} {'GB/s':>7s} {'ideal':>7s} {'%roof':>6s}")
 
     rows = {}
@@ -307,6 +316,10 @@ def main():
         notes["kernel_roofline"] = {
             "chip": f"{dev.platform} ({dev.device_kind})",
             "practical_copy_gbs": round(hbm_gbs, 1),
+            "copy_gbs_spread": [round(samples[0], 1), round(samples[-1], 1)],
+            "denominator_note": "median of 5 slope-timed ~200 MB streaming "
+            "copies in this same harness; this table is THE single source "
+            "all documents must cite (VERDICT r3 weak #1)",
             "bytes_counted": "unique inputs + outputs (fusion ideal)",
             "kernels": rows,
             "next_worst": worst[0],
