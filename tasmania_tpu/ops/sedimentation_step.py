@@ -95,17 +95,33 @@ def fused_sedimentation_rk3ws(
         h = 0.5 * (hif_r[..., :-1] + hif_r[..., 1:])
         q0 = qr_r[:]
         # stage-invariant factors, hoisted out of the three RK evaluations:
-        # the sqrt-power, the 1e-3 scaling, and the divide become one
-        # evaluation each (the fall-velocity product order is unchanged, so
-        # vt is bit-identical to _fall_velocity up to multiplication
-        # reassociation of the constant 36.34 into the rho_s/rho term)
+        # the sqrt-power, the 1e-3 scaling, the divides, and (r4) the WHOLE
+        # height-coefficient algebra of ``_dfdz`` with 1/rho folded in — per
+        # stage only the qr-dependent fall-velocity power and a 2- or 3-tap
+        # FMA remain.  Same formulas as ``_dfdz`` up to multiplication
+        # reassociation (oracle tests hold at their existing tolerances).
         mrho = 1.0e-3 * rhov
         wsq = 36.34 * (rhov[..., -1:] / rhov) ** 0.5
         inv_rho = 1.0 / rhov[..., nb:]
+        if order == 1:
+            ca = inv_rho / (h[..., :-1] - h[..., 1:])
+            cb = None
+        else:
+            h2, h1, h0 = h[..., 2:], h[..., 1:-1], h[..., :-2]
+            d1 = h1 - h2
+            d2 = h0 - h2
+            d3 = h0 - h1
+            ca = (2.0 * h2 - h1 - h0) / (d1 * d2) * inv_rho
+            cb = d2 / (d1 * d3) * inv_rho
+            cc = (h2 - h1) / (d2 * d3) * inv_rho
 
         def tendency(qi):
             vt = _fall_velocity_weighted(mrho, wsq, qi)
-            d = _dfdz(order, rhov, h, qi, vt) * inv_rho
+            rqv = rhov * qi * vt
+            if order == 1:
+                d = ca * (rqv[..., :-1] - rqv[..., 1:])
+            else:
+                d = ca * rqv[..., 2:] + cb * rqv[..., 1:-1] + cc * rqv[..., :-2]
             z = jnp.zeros(d.shape[:-1] + (nb,), d.dtype)
             return jnp.concatenate([z, d], axis=-1), vt
 
