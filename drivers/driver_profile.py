@@ -40,6 +40,10 @@ VARIANTS = {
     "no_velocities": ({"velocities"}, {}),
     "no_pointwise": ({"kessler", "satadj", "precipitation", "coriolis"}, {}),
     "no_damp": (set(), {"damp": False}),
+    # env-driven probes (r4 residue itemization):
+    "derive_uv_off": (set(), {"env": {"TASMANIA_DERIVE_UV": "0"}}),
+    "two_kernel_stage": (set(), {"env": {"TASMANIA_FUSE_STAGE": "1"}}),
+    "skip_xband_TIMING_ONLY": (set(), {"env": {"TASMANIA_SKIP_XBAND": "1"}}),
 }
 
 
@@ -59,6 +63,11 @@ def run_variant(name, skip, kwargs, nt, backend):
     nl.backend = backend
     if "damp" in kwargs:
         nl.damp = kwargs["damp"]
+    import os
+
+    envs = kwargs.get("env", {})
+    for k, v in envs.items():
+        os.environ[k] = v
 
     domain, state, pt = build_domain_and_state(nl)
     dycore, physics = build_model(nl, domain, pt, skip=skip)
@@ -107,6 +116,8 @@ def run_variant(name, skip, kwargs, nt, backend):
     out = run_all_c(dict(carry0), hs_steady, nt)
     float(probe(out))
     elapsed = time.perf_counter() - t0
+    for k in envs:
+        os.environ.pop(k, None)
     return elapsed / nt * 1e3  # ms/step
 
 

@@ -492,6 +492,11 @@ def fused_si_stage(
     s_o, su_o, sv_o = outs[0], outs[1], outs[2]
     q_o = list(outs[3 : 3 + nq])
 
+    if os.environ.get("TASMANIA_SKIP_XBAND") == "1":
+        # PROFILING ONLY: returns raw band/frame columns (wrong values in the
+        # outer nr columns) to attribute the XLA epilogue's cost
+        return tuple([s_o, su_o, sv_o] + q_o)
+
     # ------------- finish the x-band and x-frame columns in XLA ------------ #
     r3 = rmat[:, None, :] if do_damp else None
 
