@@ -569,3 +569,28 @@ def st_state_dict_pair(
             ("x", "y", "z"),
         )
     return a, b
+
+
+@hyp_st.composite
+def st_thomas_system(
+    draw,
+    shape: Tuple[int, int, int] = (4, 3, 8),
+    backend: str = "jax",
+):
+    """(a, b, c, d): a random strictly diagonally-dominant tridiagonal
+    system per column — the well-posed input manifold of the ``thomas``
+    stencil (reference ``isentropic/physics/implicit_vertical_advection.py``
+    Crank–Nicolson setup, whose diagonal is 1 + O(dt·w/dz) and always
+    dominant).  Off-diagonals drawn in [-1, 1], diagonal = |a| + |c| + margin."""
+    rng = draw(st_rng())
+    nx, ny, nz = shape
+    a = rng.uniform(-1.0, 1.0, size=shape)
+    c = rng.uniform(-1.0, 1.0, size=shape)
+    a[..., 0] = 0.0
+    c[..., -1] = 0.0
+    margin = draw(hyp_st.floats(0.1, 2.0))
+    sign = np.where(rng.uniform(size=shape) < 0.5, -1.0, 1.0)
+    b = sign * (np.abs(a) + np.abs(c) + margin)
+    d = rng.uniform(-10.0, 10.0, size=shape)
+    wrap = (lambda x: np.asarray(x)) if backend == "numpy" else jnp.asarray
+    return wrap(a), wrap(b), wrap(c), wrap(d)

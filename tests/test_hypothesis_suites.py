@@ -671,3 +671,34 @@ def test_boundary_factory_grid_arithmetic(data):
         assert hb.ni == pg.nx + 2 * hb.nb and hb.nj == pg.ny + 2 * hb.nb
     else:
         assert hb.ni == pg.nx and hb.nj == pg.ny
+
+
+@hyp
+@given(data=hyp_st.data())
+def test_thomas_solver_on_drawn_systems(data):
+    """The scan-based ``thomas`` stencil solves drawn diagonally-dominant
+    tridiagonal systems to the direct-solve answer on every backend
+    (reference ``implicit_vertical_advection.py:380-470`` solve kernel;
+    this framework's ``framework/stencil_definitions.py`` scan-Thomas)."""
+    from strategies import st_thomas_system
+    from tasmania_tpu.framework.stencil import compile_stencil
+
+    backend = data.draw(hyp_st.sampled_from(("numpy", "jax")))
+    nz = data.draw(hyp_st.integers(2, 12))
+    a, b, c, d = data.draw(
+        st_thomas_system(shape=(3, 2, nz), backend=backend)
+    )
+    thomas = compile_stencil("thomas", backend)
+    x = np.asarray(thomas(a, b, c, d))
+
+    an, bn, cn, dn = (np.asarray(v) for v in (a, b, c, d))
+    for i in range(3):
+        for j in range(2):
+            m = np.diag(bn[i, j])
+            m += np.diag(an[i, j, 1:], -1)
+            m += np.diag(cn[i, j, :-1], 1)
+            expected = np.linalg.solve(m, dn[i, j])
+            np.testing.assert_allclose(
+                x[i, j], expected, rtol=1e-9, atol=1e-9,
+                err_msg=f"col {i},{j} backend {backend}",
+            )
