@@ -516,29 +516,42 @@ def fused_si_stage(
         ]
         return [s_f, su_f, sv_f] + q_f
 
-    def paste(arrs, sl, vals):
-        return [a.at[sl].set(v) for a, v in zip(arrs, vals)]
-
-    arrs = [s_o, su_o, sv_o] + q_o
-
-    # x-band [nb, nr) / [nx-nr, nx-nb): kernel wrote raw updates (s already
-    # enforced once); apply BC + damping here
-    for sl in (slice(nb, nr), slice(nx - nr, nx - nb)):
-        if sl.start < sl.stop:
-            vals = full_epilogue(
-                sl, s_o[sl], su_o[sl], sv_o[sl], [q[sl] for q in q_o]
-            )
-            arrs = paste(arrs, sl, vals)
-
-    # x-frame [0, nb) / [nx-nb, nx): composed from "now" values
-    for sl in (slice(0, nb), slice(nx - nb, nx)):
+    def frame_vals(sl):
+        """x-frame columns, composed from "now" values."""
         gsl = gamma[sl][:, :, None]
         s_e_sl = _enforce_relaxed(s_now[sl], gsl, s_ref[sl])
         q_raw = [
             _clip_pos(_clip_pos(s_now[sl] * qn[sl]) / s_e_sl) for qn in q_now
         ]
-        vals = full_epilogue(sl, s_e_sl, su_now[sl], sv_now[sl], q_raw)
-        arrs = paste(arrs, sl, vals)
+        return full_epilogue(sl, s_e_sl, su_now[sl], sv_now[sl], q_raw)
+
+    def band_vals(sl):
+        """x-band columns: kernel wrote raw updates (s already enforced
+        once); apply BC + damping here."""
+        return full_epilogue(
+            sl, s_o[sl], su_o[sl], sv_o[sl], [q[sl] for q in q_o]
+        )
+
+    # finished edge strips [0, nr) and [nx-nr, nx) per field, pasted with
+    # ONE in-place (aliased) edge write per array — an `.at[].set` chain
+    # made XLA re-materialize every full array, 0.72 ms/step at the
+    # flagship size (BENCH_NOTES r4_residue_itemization)
+    from tasmania_tpu.ops.paste import paste_x_edges
+
+    lo_f = frame_vals(slice(0, nb))
+    hi_f = frame_vals(slice(nx - nb, nx))
+    if nr > nb:
+        lo_b = band_vals(slice(nb, nr))
+        hi_b = band_vals(slice(nx - nr, nx - nb))
+        lo = [jnp.concatenate([f, b], axis=0) for f, b in zip(lo_f, lo_b)]
+        hi = [jnp.concatenate([b, f], axis=0) for f, b in zip(hi_f, hi_b)]
+    else:
+        lo, hi = lo_f, hi_f
+    arrs = [s_o, su_o, sv_o] + q_o
+    arrs = [
+        paste_x_edges(a, l, h, interpret=interpret)
+        for a, l, h in zip(arrs, lo, hi)
+    ]
 
     if not with_velocities:
         return tuple(arrs)

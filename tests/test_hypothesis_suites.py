@@ -352,7 +352,9 @@ def test_parallel_splitting_linear_increments(data):
     dt_q = td.total_seconds()  # microsecond-quantized, like the stepper sees
     expected = prv_phi + sum(a * dt_q * phi for a in coeffs)
     np.testing.assert_allclose(
-        np.asarray(prv_out["phi"].data), expected, rtol=1e-12
+        np.asarray(prv_out["phi"].data), expected, rtol=1e-12,
+        # near-cancelling drawn coefficients leave rounding-level residues
+        atol=1e-12 * dt_q * max(1.0, max(abs(c) for c in coeffs)),
     )
 
 
