@@ -102,8 +102,10 @@ def _smag_stage(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(s, su_st, sv_st, su_base, sv_base)
-    osu = osu.at[:nb].set(su_base[:nb]).at[nx - nb :].set(su_base[nx - nb :])
-    osv = osv.at[:nb].set(sv_base[:nb]).at[nx - nb :].set(sv_base[nx - nb :])
+    from tasmania_tpu.ops.paste import paste_x_edges
+
+    osu = paste_x_edges(osu, su_base[:nb], su_base[nx - nb :], interpret=interpret)
+    osv = paste_x_edges(osv, sv_base[:nb], sv_base[nx - nb :], interpret=interpret)
     return osu, osv
 
 

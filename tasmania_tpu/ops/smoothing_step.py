@@ -114,7 +114,11 @@ def fused_smoothing(
         out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), fields[0].dtype)] * F,
         interpret=interpret,
     )(gamma, *fields)
+    from tasmania_tpu.ops.paste import paste_x_edges
+
+    # in-place aliased edge writes instead of .at[].set re-materialization
+    # (BENCH_NOTES r4_residue_itemization)
     return tuple(
-        out.at[:nb].set(phi[:nb]).at[nx - nb :].set(phi[nx - nb :])
+        paste_x_edges(out, phi[:nb], phi[nx - nb :], interpret=interpret)
         for out, phi in zip(outs, fields)
     )
