@@ -66,6 +66,7 @@ def run_variant(name, skip, kwargs, nt, backend):
     import os
 
     envs = kwargs.get("env", {})
+    prior_env = {k: os.environ.get(k) for k in envs}
     for k, v in envs.items():
         os.environ[k] = v
 
@@ -116,8 +117,13 @@ def run_variant(name, skip, kwargs, nt, backend):
     out = run_all_c(dict(carry0), hs_steady, nt)
     float(probe(out))
     elapsed = time.perf_counter() - t0
-    for k in envs:
-        os.environ.pop(k, None)
+    # restore the PRIOR values (ADVICE r4: a plain pop clobbered any value
+    # the user had exported for the whole session)
+    for k, old in prior_env.items():
+        if old is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = old
     return elapsed / nt * 1e3  # ms/step
 
 

@@ -229,6 +229,18 @@ class IsentropicDynamicalCore(DynamicalCore):
         )
         if (
             stage < self.stages - 1
+            # the skip decides stage N+1's behaviour from stage N's
+            # tendencies, which is only sound when NO component can change
+            # the tendency set (or read the velocities) between stages:
+            # require the dycore to have no fast/superfast components and no
+            # substepping (ADVICE r4: with a fast component whose tendencies
+            # appear/disappear per stage, stage N+1's fallback would consume
+            # the un-refreshed, stale u/v state fields)
+            and self.fast_tendency_component is None
+            and self.fast_diagnostic_component is None
+            and self.superfast_tendency_component is None
+            and self.superfast_diagnostic_component is None
+            and self.substeps == 0
             and getattr(self._prognostic, "derive_velocities_at", None)
             and self._prognostic.derive_velocities_at(
                 stage + 1, raw_state, raw_tendencies

