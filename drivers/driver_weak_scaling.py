@@ -30,7 +30,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run_one(n_devices: int, block: int, nz: int, niter: int, physics: bool) -> dict:
+def run_one(n_devices: int, block: int, nz: int, niter: int, physics: bool,
+            backend: str = "jax", halo=None) -> dict:
     script = f"""
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -53,6 +54,10 @@ from tasmania_tpu.parallel.runner import DistributedModel
 mesh = make_mesh(jax.devices())
 px, py = mesh.devices.shape
 nl.nx, nl.ny, nl.nz = px * {block}, py * {block}, {nz}
+# 'pallas' means the shard-aware whole-stage kernel path (ops/si_stage dist
+# mode); on the CPU virtual mesh it lowers via interpret=True — the
+# ppermutes/fusions in the SPMD HLO are the pallas-path graph either way
+nl.backend = {backend!r} if {backend!r} != "pallas" else "pallas:interpret"
 domain, state, pt = build_domain_and_state(nl)
 dt = nl.timestep.total_seconds()
 if {physics!r}:
@@ -70,7 +75,7 @@ else:
             storage_options=nl.so,
         ), None
 
-dm = DistributedModel(domain, state, mesh, factory, dt)
+dm = DistributedModel(domain, state, mesh, factory, dt, halo={halo!r})
 fields = dm.scatter_state(state)
 hs = dm.put_topography(jnp.zeros((nl.nx, nl.ny), dtype=nl.so.dtype))
 probe = jax.jit(lambda f: jnp.sum(f["air_isentropic_density"]))
@@ -98,7 +103,8 @@ print(json.dumps(dict(
 
 
 def analyze_comm(n_devices: int, block: int, nz: int, physics: bool,
-                 gps_chip: float, ici_gbs: float) -> dict:
+                 gps_chip: float, ici_gbs: float,
+                 backend: str = "jax", halo=None) -> dict:
     """Comm-vs-compute analysis of the distributed step's compiled HLO.
 
     Lowers the shard_map step on an n-device virtual mesh at a fixed
@@ -132,6 +138,10 @@ from tasmania_tpu.parallel.runner import DistributedModel
 mesh = make_mesh(jax.devices())
 px, py = mesh.devices.shape
 nl.nx, nl.ny, nl.nz = px * {block}, py * {block}, {nz}
+# 'pallas' means the shard-aware whole-stage kernel path (ops/si_stage dist
+# mode); on the CPU virtual mesh it lowers via interpret=True — the
+# ppermutes/fusions in the SPMD HLO are the pallas-path graph either way
+nl.backend = {backend!r} if {backend!r} != "pallas" else "pallas:interpret"
 domain, state, pt = build_domain_and_state(nl)
 dt = nl.timestep.total_seconds()
 if {physics!r}:
@@ -149,7 +159,7 @@ else:
             storage_options=nl.so,
         ), None
 
-dm = DistributedModel(domain, state, mesh, factory, dt)
+dm = DistributedModel(domain, state, mesh, factory, dt, halo={halo!r})
 fields = dm.scatter_state(state)
 hs = dm.put_topography(jnp.zeros((nl.nx, nl.ny), dtype=nl.so.dtype))
 compiled = dm._step.lower(dict(fields), dm._consts, hs).compile()
@@ -227,19 +237,32 @@ def main(argv=None):
                    help="measured single-chip gridpoints/s (bench.py)")
     p.add_argument("--ici-gbs", type=float, default=45.0,
                    help="assumed ICI bandwidth per direction, GB/s")
+    p.add_argument("--backend", type=str, default="jax",
+                   help="jax | pallas (shard-aware whole-stage kernels)")
+    p.add_argument("--halo", type=int, default=None,
+                   help="shard halo width (pallas path needs nb+1)")
     cli = p.parse_args(argv)
 
     if cli.analyze:
         n = max(int(x) for x in cli.devices.split(","))
-        r = analyze_comm(
-            n, cli.block, cli.nz, cli.physics, cli.gps_chip, cli.ici_gbs
+        halo = cli.halo if cli.halo is not None else (
+            4 if cli.backend == "pallas" else None
         )
+        r = analyze_comm(
+            n, cli.block, cli.nz, cli.physics, cli.gps_chip, cli.ici_gbs,
+            backend=cli.backend, halo=halo,
+        )
+        r["backend"] = cli.backend
         print(json.dumps(r, indent=1))
         return r
 
     rows = []
     for n in [int(x) for x in cli.devices.split(",")]:
-        r = run_one(n, cli.block, cli.nz, cli.niter, cli.physics)
+        halo = cli.halo if cli.halo is not None else (
+            4 if cli.backend == "pallas" else None
+        )
+        r = run_one(n, cli.block, cli.nz, cli.niter, cli.physics,
+                    backend=cli.backend, halo=halo)
         rows.append(r)
         print(json.dumps(r), flush=True)
 

@@ -186,23 +186,31 @@ class IsentropicDynamicalCore(DynamicalCore):
 
     # -- stage ------------------------------------------------------------------ #
     def stage_array_call(self, stage, raw_state, raw_tendencies, timestep):
-        if self._can_fuse_stage():
+        if self._can_fuse_stage(raw_tendencies):
             return self._stage_fused(stage, raw_state, raw_tendencies, timestep)
         if self._moist:
             return self._stage_moist(stage, raw_state, raw_tendencies, timestep)
         return self._stage_dry(stage, raw_state, raw_tendencies, timestep)
 
-    def _can_fuse_stage(self) -> bool:
+    def _can_fuse_stage(self, raw_tendencies=None) -> bool:
         """Whole-stage Pallas fusion: the stage stencils AND this epilogue
         (mass fractions, enforce_raw, Rayleigh damping) run inside two fused
         kernels (``ops/advection_step.fused_momentum_epilogue``) — requires the
-        pallas backend, a plain 2-D relaxed boundary, and a Rayleigh (or no)
-        damper.  ``TASMANIA_FUSE_STAGE=0`` disables it (tuning/debug)."""
+        pallas backend, a plain 2-D relaxed boundary (or a relaxed
+        DistributedBoundary: the shard-aware whole-stage kernel), and a
+        Rayleigh (or no) damper.  ``TASMANIA_FUSE_STAGE=0`` disables it
+        (tuning/debug)."""
         import os
 
         if os.environ.get("TASMANIA_FUSE_STAGE", "1") == "0":
             return False
         if self._damp and type(self._damper).__name__ != "Rayleigh":
+            return False
+        if raw_tendencies and not getattr(
+            self.horizontal_boundary, "is_degenerate", True
+        ):
+            # distributed: only the (tendency-free) whole-stage kernel is
+            # shard-aware; tendency-carrying stages take the jax expressions
             return False
         return self._prognostic.supports_fused_epilogue()
 
@@ -227,6 +235,13 @@ class IsentropicDynamicalCore(DynamicalCore):
         out = self._prognostic.stage_call_fused_epilogue(
             stage, timestep, raw_state, raw_tendencies, rmat=rmat, dtf=timestep
         )
+        # distributed: the kernel applied BC + damping in-VMEM, but the next
+        # stage (and the physics chain) consume the halos — refresh them via
+        # the fused exchange (the single-device path's enforce does this at
+        # the same seam, parallel/distributed.py::enforce_raw)
+        sync = getattr(hb, "post_stage_sync", None)
+        if sync is not None:
+            out = sync(out)
         if (
             stage < self.stages - 1
             # the skip decides stage N+1's behaviour from stage N's

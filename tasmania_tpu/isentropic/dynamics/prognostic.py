@@ -135,6 +135,12 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         ) / dy
 
     def _use_fused_kernel(self) -> bool:
+        # under a real (non-degenerate) DistributedBoundary the only pallas
+        # path is the dist-aware whole-stage kernel (stage_call_fused_v2);
+        # the two-kernel pair has no global frame/band awareness, so any
+        # fallback goes through the distribution-correct jax expressions
+        if not getattr(self.horizontal_boundary, "is_degenerate", True):
+            return False
         return self._backend.startswith("pallas") and self._hflux.order in (3, 5)
 
     # -- comm/compute overlap (distributed path) -------------------------------- #
@@ -237,13 +243,26 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         )
 
     # -- fused-epilogue fast path (pallas + relaxed BC) -------------------------- #
+    def _is_distributed(self) -> bool:
+        """A real (multi-shard or padded) DistributedBoundary; the degenerate
+        mesh(1,1) pad-free case runs the exact single-device program."""
+        hb = self.horizontal_boundary
+        return hasattr(hb, "is_degenerate") and not hb.is_degenerate
+
     def _relaxed_consts(self, dtype):
         """(γ (nx, ny), per-field reference arrays) for the in-kernel relaxed
-        BC; trace-time constants exactly like the unfused enforce closures."""
+        BC; trace-time constants exactly like the unfused enforce closures.
+        Under a DistributedBoundary these are the shard-local windows bound
+        inside shard_map (``bind_local_constants``)."""
         import jax.numpy as jnp
 
         hb = self.horizontal_boundary
-        gamma = jnp.asarray(hb._gamma[: self.grid.nx, : self.grid.ny], dtype=dtype)
+        if hasattr(hb, "_local_consts"):
+            gamma = jnp.asarray(hb._local_consts["gamma"], dtype=dtype)
+        else:
+            gamma = jnp.asarray(
+                hb._gamma[: self.grid.nx, : self.grid.ny], dtype=dtype
+            )
         units = {
             "air_isentropic_density": "kg m^-2 K^-1",
             "x_momentum_isentropic": "kg m^-1 K^-1 s^-1",
@@ -264,8 +283,47 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
     def supports_fused_epilogue(self) -> bool:
         """Whole-stage fusion (advection+BC, momentum+epilogue kernels) is
         available: pallas backend, supported flux order, plain 2-D relaxed
-        boundary, reference state covering every enforced field."""
+        boundary (single-device OR a relaxed DistributedBoundary — the
+        shard-aware whole-stage kernel, VERDICT r4 next #1), reference state
+        covering every enforced field."""
         hb = self.horizontal_boundary
+        names = [
+            "air_isentropic_density",
+            "x_momentum_isentropic",
+            "y_momentum_isentropic",
+        ] + ([mfwv, mfcw, mfpw] if self._moist else [])
+        if self._is_distributed():
+            if not (
+                self._backend.startswith("pallas")
+                and self._hflux.order in (3, 5)
+            ):
+                return False
+            if hb._inner_type != "relaxed":
+                return False
+            nb = hb.nb
+            nr = int(hb._kwargs.get("nr", 8))
+            d = hb.decomposition
+            if min(d.bx, d.by) < max(2 * nr, nr + nb):
+                # blocks too small for shard-local band ownership: fall back
+                # to the (distribution-correct) jax expressions
+                return False
+            # the whole-stage kernel's own static gates, on LOCAL shapes
+            # (mirrors _supports_stage_v2 so undersized shards fall back
+            # instead of asserting mid-trace)
+            lx = d.bx + 2 * d.pad_x
+            ly = d.by + 2 * d.pad_y
+            yb = max(8, d.pad_y + nr)
+            if lx - 2 * nb < 4 or ly < 16 or ly < 2 * yb:
+                return False
+            assert (d.px == 1 or d.pad_x >= nb + 1) and (
+                d.py == 1 or d.pad_y >= nb + 1
+            ), (
+                "the distributed pallas whole-stage kernel needs halo pads "
+                ">= nb+1 on sharded axes: pass halo=nb+1 to DistributedModel "
+                "(its in-kernel Montgomery gradient reads the advected "
+                "density one cell into the halo)"
+            )
+            return all(n in hb.reference_state for n in names)
         if not self._use_fused_kernel():
             return False
         if type(hb).__name__ != "Relaxed" or hb._oneDX or hb._oneDY:
@@ -273,11 +331,6 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         ref = hb.reference_state
         if ref is None:
             return False
-        names = [
-            "air_isentropic_density",
-            "x_momentum_isentropic",
-            "y_momentum_isentropic",
-        ] + ([mfwv, mfcw, mfpw] if self._moist else [])
         return all(n in ref for n in names)
 
     def _supports_stage_v2(self, state, tendencies) -> bool:
@@ -357,6 +410,17 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         q_names = (mfwv, mfcw, mfpw) if self._moist else ()
         derive = self.derive_velocities_at(stage)
         skip_xband = os.environ.get("TASMANIA_SKIP_XBAND") == "1"
+        dist_kwargs = {}
+        if self._is_distributed():
+            pad_x, pad_y = hb.pads
+            dist_kwargs = dict(
+                dist=True,
+                goff=hb.global_offset_array(),
+                gnx=hb._gnx,
+                gny=hb._gny,
+                yb=max(8, pad_y + nr),
+                epi_w=pad_x + nr,
+            )
         outs = fused_si_stage(
             None if derive else state["x_velocity_at_u_locations"],
             None if derive else state["y_velocity_at_v_locations"],
@@ -397,6 +461,7 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             derive_velocities=derive,
             skip_xband=skip_xband,
             interpret=self._backend == "pallas:interpret",
+            **dist_kwargs,
         )
         result = {
             "air_isentropic_density": outs[0],
@@ -433,6 +498,11 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             return self.stage_call_fused_v2(
                 stage, timestep, state, tendencies, rmat=rmat, dtf=dtf
             )
+        assert not self._is_distributed(), (
+            "the distributed pallas path has only the whole-stage kernel; "
+            "the dycore routes tendency-carrying distributed stages through "
+            "the jax expressions (dycore._can_fuse_stage)"
+        )
         if stage == 0:
             self._capture_now(state)
         fracs = self.substep_fractions

@@ -36,6 +36,11 @@ class IsentropicSmagorinsky(Smagorinsky2d):
         None when not applicable."""
         if scheme != "rk2" or not self.backend.startswith("pallas"):
             return None
+        if not getattr(self.horizontal_boundary, "is_degenerate", True):
+            # the fused RK2 kernel's frame protocol is local-coordinate; a
+            # real DistributedBoundary routes through array_call, whose
+            # restrict/refresh hooks are shard-aware
+            return None
         from tasmania_tpu.framework.field import FieldArray, get_array_dict
         from tasmania_tpu.ops.smagorinsky_step import fused_smagorinsky_rk2
 

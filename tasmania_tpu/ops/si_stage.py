@@ -96,6 +96,7 @@ def _div_from_views(order, dx, dy, nb, ny, uf, vf, xs, ybase):
         "pt", "dz", "g", "cp", "rd", "pref",
         "nq", "do_damp", "dd", "with_velocities", "derive_velocities",
         "tile_x", "skip_xband", "interpret",
+        "dist", "gnx", "gny", "yb", "epi_w",
     ),
 )
 def fused_si_stage(
@@ -141,14 +142,36 @@ def fused_si_stage(
     tile_x: int = _STAGE_TILE_X,
     skip_xband: bool = False,
     interpret: bool = False,
+    dist: bool = False,
+    goff=None,       # traced int32 (2,): global coords of local cell (0, 0)
+    gnx: int = 0,    # global physical-grid extents (dist only)
+    gny: int = 0,
+    yb: int = _YB,   # in-kernel y-band enforcement depth (dist: >= pad_y + nr)
+    epi_w: int = 0,  # x-epilogue strip width (dist: pad_x + nr; 0 = nr-by-nb default)
 ):
     """One fused SI stage; returns (s_f, su_f, sv_f, *q_f[, u_f, v_f]),
     full arrays (staggered u (nx+1, ny, nz) / v (nx, ny+1, nz) when
     ``with_velocities``; their outermost faces are ZERO — callers apply
-    ``set_outermost_layers_x/y``, matching ``get_velocity_components``)."""
+    ``set_outermost_layers_x/y``, matching ``get_velocity_components``).
+
+    ``dist`` mode (shard_map, VERDICT r4 weak #1): the operands are one
+    shard's halo-extended local block and every frame/band decision becomes a
+    GLOBAL-coordinate test against ``goff``/``gnx``/``gny`` — the relaxed
+    band and the keep-now frame exist only where the global gamma/position
+    say so (reference ``domain/horizontal_boundary.py:159-434`` enforce
+    sites), so interior shards advect every local cell and edge shards
+    reproduce the single-device edge treatment exactly.  The caller owes a
+    post-stage halo exchange (``DistributedBoundary.post_stage_sync``) and a
+    local halo pad >= nb + 1 on sharded axes (the Montgomery gradient at the
+    first owned column reads the advected density one cell into the halo)."""
     nx, ny, nz = s_now.shape
     e = 2 if order == 3 else 3
     assert order in (3, 5) and nb >= e
+    if dist:
+        assert goff is not None and gnx > 0 and gny > 0
+        assert not with_velocities, "dist mode derives or defers velocities"
+    else:
+        assert yb == _YB and epi_w == 0 and goff is None
     # derive_velocities (r4): for stages whose "int" state is the previous
     # stage's FINISHED output, the advective velocities are exactly the
     # staggered divides of (s_int, su_int, sv_int) — the faces this kernel
@@ -162,7 +185,7 @@ def fused_si_stage(
     assert not (derive_velocities and with_velocities)
     if derive_velocities:
         assert u is None and v is None
-    assert nr <= _YB <= ny // 2 and nb <= nr
+    assert nr <= yb <= ny // 2 and nb <= nr
     assert len(q_now) == len(q_int) == len(q_refs) == nq
     NXI = nx - 2 * nb
     VX = 1 if with_velocities else 0
@@ -180,6 +203,11 @@ def fused_si_stage(
 
     def kernel(*refs):
         refs, spad_ref, supad_ref, svpad_ref = refs[:-3], *refs[-3:]
+        if dist:
+            goff_ref = refs[0]
+            refs = refs[1:]
+            gx0 = goff_ref[0]
+            gy0 = goff_ref[1]
         if derive_velocities:
             (sn_ref, si_ref) = refs[:2]
             u_ref = v_ref = None
@@ -253,7 +281,17 @@ def fused_si_stage(
         )
         r1 = lax.broadcasted_iota(jnp.int32, (Wm, 1, 1), 0)
         xg1 = t0 - 1 - VX + r1
-        frame1 = (xg1 < nb) | (xg1 >= nx - nb)
+        if dist:
+            # global-coordinate frame: keep "now" wherever the SINGLE-DEVICE
+            # stencil would not write — within nb of a GLOBAL edge (x and y);
+            # out-of-domain ghost columns (negative coords) land in the same
+            # bucket (their values are discarded by the post-stage exchange)
+            xg1g = gx0 + xg1
+            cyg = gy0 + lax.broadcasted_iota(jnp.int32, (1, ny, 1), 1)
+            yframe = (cyg < nb) | (cyg >= gny - nb)
+            frame1 = (xg1g < nb) | (xg1g >= gnx - nb) | yframe
+        else:
+            frame1 = (xg1 < nb) | (xg1 >= nx - nb)
         s_res = jnp.where(frame1, s_now_w, s_res)
         s_e_wm = _enforce_relaxed(s_res, g_ref[:], sref_ref[:])
 
@@ -288,9 +326,18 @@ def fused_si_stage(
         g_p = g_ref[:][cwp]
         g_t = g_ref[:][ctm]
         rp = lax.broadcasted_iota(jnp.int32, (Wp, 1, 1), 0)
-        band_p = ((t0 - VX + rp) < nr) | ((t0 - VX + rp) >= nx - nr)
         rt = lax.broadcasted_iota(jnp.int32, (TX, 1, 1), 0)
-        band_t = ((t0 + rt) < nr) | ((t0 + rt) >= nx - nr)
+        if dist:
+            # global x-band: columns within nr of a GLOBAL x-edge carry raw
+            # updates (gamma spans every row there; the XLA epilogue owns
+            # their full-ny enforcement) — interior shards have none
+            xgp = gx0 + t0 - VX + rp
+            band_p = (xgp < nr) | (xgp >= gnx - nr)
+            xgt = gx0 + t0 + rt
+            band_t = (xgt < nr) | (xgt >= gnx - nr)
+        else:
+            band_p = ((t0 - VX + rp) < nr) | ((t0 - VX + rp) >= nx - nr)
+            band_t = ((t0 + rt) < nr) | ((t0 + rt) >= nx - nr)
 
         def div_p(pad, delta):
             xs_p = [pad[pl.ds(_P + delta + k, Wp + 1)] for k in range(2 * e)]
@@ -299,12 +346,12 @@ def fused_si_stage(
                 pad[pl.ds(_P + delta + e, Wp)],
             )
 
-        def enforce_yband(res, gg, yb):
-            lo = _enforce_relaxed(res[:, :_YB], gg[:, :_YB], yb[:, :_YB])
+        def enforce_yband(res, gg, ybnd):
+            lo = _enforce_relaxed(res[:, :yb], gg[:, :yb], ybnd[:, :yb])
             hi = _enforce_relaxed(
-                res[:, ny - _YB :], gg[:, ny - _YB :], yb[:, _YB:]
+                res[:, ny - yb :], gg[:, ny - yb :], ybnd[:, yb:]
             )
-            return jnp.concatenate([lo, res[:, _YB : ny - _YB], hi], axis=1)
+            return jnp.concatenate([lo, res[:, yb : ny - yb], hi], axis=1)
 
         rm_top = rm_ref[:][:, None, :]     # (1, dd) -> (1, 1, dd)
 
@@ -352,6 +399,11 @@ def fused_si_stage(
             [sv_n[:, :nb], sv_n[:, jin] - dt * (div_sv + pgy), sv_n[:, ny - nb :]],
             axis=1,
         )
+        if dist:
+            # keep "now" on the GLOBAL y-frame rows (the structural concat
+            # above keeps only the LOCAL halo rows)
+            su_pre = jnp.where(yframe, su_n, su_pre)
+            sv_pre = jnp.where(yframe, sv_n, sv_pre)
         g_wp = g_ref[:][cwp]
         su_enf = enforce_yband(su_pre, g_wp, suyb_ref[:])
         sv_enf = enforce_yband(sv_pre, g_wp, svyb_ref[:])
@@ -378,6 +430,8 @@ def fused_si_stage(
                      sq_now[:, ny - nb :]],
                     axis=1,
                 )
+                if dist:
+                    sq_res = jnp.where(yframe, sq_now, sq_res)
                 q_raw = _clip_pos(sq_res / s_e_t)
                 q_enf = enforce_yband(q_raw, g_t, qyb_refs[k][:])
                 out_refs[3 + k][0:TX] = jnp.where(band_t, q_raw, q_enf)
@@ -433,13 +487,13 @@ def fused_si_stage(
     plane_spec = em(Wm, -1 - VX, lastdim=1)
     s_int_spec = clamped(WIN_S, -1 - VX - e)
     m_int_spec = clamped(WIN_M, -VX - e)
-    yband_spec = em(Wp, -VX, ydim=2 * _YB)
+    yband_spec = em(Wp, -VX, ydim=2 * yb)
     top_spec = em(Wp, -VX, lastdim=dd_eff)
-    qyb_spec = em(TX, 0, ydim=2 * _YB)
+    qyb_spec = em(TX, 0, ydim=2 * yb)
 
     # band/slab constants (XLA slices of the full reference fields)
     def yband(a):
-        return jnp.concatenate([a[:, :_YB], a[:, ny - _YB :]], axis=1)
+        return jnp.concatenate([a[:, :yb], a[:, ny - yb :]], axis=1)
 
     su_yb, sv_yb = yband(su_ref), yband(sv_ref)
     q_ybs = tuple(yband(q) for q in q_refs)
@@ -466,7 +520,8 @@ def fused_si_stage(
             vmem_limit_bytes=120 * 1024 * 1024
         ),
         in_specs=(
-            ([] if derive_velocities else [u_spec, v_spec])
+            ([pl.BlockSpec(memory_space=pltpu.SMEM)] if dist else [])
+            + ([] if derive_velocities else [u_spec, v_spec])
             + [wm_spec, s_int_spec]
             + [c_spec] * nq
             + [h_spec_q := em(TX + 2 * e, -e)] * nq
@@ -485,6 +540,7 @@ def fused_si_stage(
         ],
         interpret=interpret,
     )(
+        *((jnp.asarray(goff, jnp.int32),) if dist else ()),
         *(() if derive_velocities else (u, v)),
         s_now, s_int, *q_now, *q_int, su_now, sv_now, su_int, sv_int,
         mtg_now, hs3, theta, g3, s_ref, su_yb, sv_yb, *q_ybs,
@@ -541,6 +597,33 @@ def fused_si_stage(
     # made XLA re-materialize every full array, 0.72 ms/step at the
     # flagship size (BENCH_NOTES r4_residue_itemization)
     from tasmania_tpu.ops.paste import paste_x_edges
+
+    if dist:
+        # per-shard strips: which of the outer epi_w local columns are global
+        # frame (keep-now compose) / global band (BC + damping on the raw
+        # kernel values) is a traced global-coordinate test; everything else
+        # keeps the kernel's finished core values (never double-damped)
+        W = epi_w
+        assert W >= max(nb, nr) and 2 * W <= nx
+        gx0v = jnp.asarray(goff, jnp.int32)[0]
+        arrs0 = [s_o, su_o, sv_o] + q_o
+
+        def compose(sl, g):
+            fr = frame_vals(sl)
+            bd = band_vals(sl)
+            fm = ((g < nb) | (g >= gnx - nb))[:, None, None]
+            bm = ((g < nr) | (g >= gnx - nr))[:, None, None]
+            return [
+                jnp.where(fm, f, jnp.where(bm, b, a[sl]))
+                for f, b, a in zip(fr, bd, arrs0)
+            ]
+
+        lo = compose(slice(0, W), gx0v + jnp.arange(W))
+        hi = compose(slice(nx - W, nx), gx0v + (nx - W) + jnp.arange(W))
+        return tuple(
+            paste_x_edges(a, l, h, interpret=interpret)
+            for a, l, h in zip(arrs0, lo, hi)
+        )
 
     lo_f = frame_vals(slice(0, nb))
     hi_f = frame_vals(slice(nx - nb, nx))

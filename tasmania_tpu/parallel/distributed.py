@@ -89,19 +89,20 @@ def _window_blocked(
 ) -> np.ndarray:
     """Tile the per-shard halo windows of a global constant into ONE blocked
     array shard-able ``P('x','y')``: block (i, j) of the result is shard
-    (i, j)'s local view (owned block + nb-wide halo ring; out-of-domain ghosts
+    (i, j)'s local view (owned block + halo ring; out-of-domain ghosts
     take the padding).  Host-side, runs once at setup."""
-    nb, bx, by = decomp.nb, decomp.bx, decomp.by
+    hx, hy = decomp.pad_x, decomp.pad_y
+    bx, by = decomp.bx, decomp.by
     px, py = decomp.px, decomp.py
     sx, sy = staggered
     f = np.asarray(global_field)
-    pads = [(nb, nb), (nb, nb)] + [(0, 0)] * (f.ndim - 2)
+    pads = [(hx, hx), (hy, hy)] + [(0, 0)] * (f.ndim - 2)
     if pad_mode == "constant":
         fp = np.pad(f, pads, mode="constant", constant_values=pad_value)
     else:
         fp = np.pad(f, pads, mode="edge")
-    lx = bx + 2 * nb + int(sx)
-    ly = by + 2 * nb + int(sy)
+    lx = bx + 2 * hx + int(sx)
+    ly = by + 2 * hy + int(sy)
     rows = []
     for i in range(px):
         cols = []
@@ -145,8 +146,8 @@ class DistributedBoundary(HorizontalBoundary):
         # spacings (only dx/dy/dz reach traced code — coordinates are host-side)
         dx = float(np.asarray(gpg.dx.data))
         dy = float(np.asarray(gpg.dy.data))
-        lx_phys = decomp.bx + 2 * nb
-        ly_phys = decomp.by + 2 * nb
+        lx_phys = decomp.bx + 2 * decomp.pad_x
+        ly_phys = decomp.by + 2 * decomp.pad_y
         zhl = np.asarray(gpg.z_on_interface_levels.data)
         local_grid = PhysicalGrid(
             FieldArray(
@@ -191,11 +192,28 @@ class DistributedBoundary(HorizontalBoundary):
     # -- geometry: the numerical grid is the halo-extended local block -------- #
     @property
     def ni(self) -> int:
-        return self._decomp.bx + 2 * self.nb
+        return self._decomp.bx + 2 * self._decomp.pad_x
 
     @property
     def nj(self) -> int:
-        return self._decomp.by + 2 * self.nb
+        return self._decomp.by + 2 * self._decomp.pad_y
+
+    @property
+    def pads(self) -> Tuple[int, int]:
+        """Per-axis halo widths (0 on degenerate non-periodic axes)."""
+        return (self._decomp.pad_x, self._decomp.pad_y)
+
+    @property
+    def is_degenerate(self) -> bool:
+        """True when this 'decomposition' is a single pad-free shard — local
+        coordinates equal global ones and every component runs the exact
+        single-device program (the mesh(1,1) fast path)."""
+        return (
+            self._decomp.px == 1
+            and self._decomp.py == 1
+            and self._decomp.pad_x == 0
+            and self._decomp.pad_y == 0
+        )
 
     @property
     def decomposition(self) -> CartesianDecomposition:
@@ -370,8 +388,9 @@ class DistributedBoundary(HorizontalBoundary):
         from jax import lax
 
         block = self._decomp.bx if axis == 0 else self._decomp.by
+        pad = self._decomp.pad_x if axis == 0 else self._decomp.pad_y
         idx = lax.axis_index(self._axis_names[axis])
-        return idx * block + jnp.arange(length) - self.nb
+        return idx * block + jnp.arange(length) - pad
 
     def _interior_mask2d(self, mi: int, mj: int, nb: int):
         """(mi, mj) bool: True where the cell lies >= nb from every global
@@ -394,7 +413,7 @@ class DistributedBoundary(HorizontalBoundary):
             f = field
             core = f[: f.shape[0] - int(sx), : f.shape[1] - int(sy)]
             core = halo_exchange(
-                core, self.nb, self._axis_names, (self._periodic, self._periodic)
+                core, self.pads, self._axis_names, (self._periodic, self._periodic)
             )
             import jax.numpy as jnp
 
@@ -405,7 +424,7 @@ class DistributedBoundary(HorizontalBoundary):
                 core = jnp.concatenate([core, pad_col], axis=1)
             return core
         return halo_exchange(
-            field, self.nb, self._axis_names, (self._periodic, self._periodic)
+            field, self.pads, self._axis_names, (self._periodic, self._periodic)
         )
 
     def refresh_halos_many(self, fields, field_names=None):
@@ -417,7 +436,7 @@ class DistributedBoundary(HorizontalBoundary):
             any(field_stagger_axes(n or "")[:2]) for n in names
         ), "bulk refresh is for cell fields; staggered go through refresh_halos"
         return halo_exchange_multi(
-            fields, self.nb, self._axis_names, (self._periodic, self._periodic)
+            fields, self.pads, self._axis_names, (self._periodic, self._periodic)
         )
 
     def restrict_stencil_output(self, out, base=None, nb=None, field_name=None):
@@ -461,7 +480,7 @@ class DistributedBoundary(HorizontalBoundary):
     def enforce_field(self, field, field_name=None, field_units=None, time=None):
         out = self._apply_physical_bc(field, field_name, field_units)
         return halo_exchange(
-            out, self.nb, self._axis_names, (self._periodic, self._periodic)
+            out, self.pads, self._axis_names, (self._periodic, self._periodic)
         )
 
     def enforce_raw(self, state, field_properties=None):
@@ -491,10 +510,51 @@ class DistributedBoundary(HorizontalBoundary):
             for n in names
         ]
         exchanged = halo_exchange_multi(
-            bced, self.nb, self._axis_names, (self._periodic, self._periodic)
+            bced, self.pads, self._axis_names, (self._periodic, self._periodic)
         )
         out.update(dict(zip(names, exchanged)))
         return out
+
+    def post_stage_sync(self, out: Mapping[str, Any]) -> Dict[str, Any]:
+        """Refresh halos of a fused-stage output dict (the pallas whole-stage
+        kernel applies BC + damping in-VMEM, so unlike ``enforce_raw`` no BC
+        algebra is owed here — only the exchange that the single-device fused
+        path never needs).  Cell fields only; staggered velocities are
+        re-derived from synced fields by the caller."""
+        from tasmania_tpu.parallel.halo import halo_exchange_multi
+
+        out = dict(out)
+        names = [
+            n for n in out if not any(field_stagger_axes(n or "")[:2])
+        ]
+        exchanged = halo_exchange_multi(
+            [out[n] for n in names],
+            self.pads,
+            self._axis_names,
+            (self._periodic, self._periodic),
+        )
+        out.update(dict(zip(names, exchanged)))
+        return out
+
+    def global_offset_array(self):
+        """Traced int32 ``[gx0, gy0]``: the GLOBAL (physical-grid) coordinate
+        of local cell (0, 0) on this shard — the whole-stage kernel's frame/
+        band masks are global-coordinate tests (``ops/si_stage.py`` dist
+        mode)."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        gx0 = (
+            lax.axis_index(self._axis_names[0]) * self._decomp.bx
+            - self._decomp.pad_x
+        )
+        gy0 = (
+            lax.axis_index(self._axis_names[1]) * self._decomp.by
+            - self._decomp.pad_y
+        )
+        return jnp.stack(
+            [jnp.int32(gx0), jnp.int32(gy0)]
+        )
 
     def _pin_outermost(self, field, field_name, field_units, axis: int):
         import jax.numpy as jnp

@@ -61,6 +61,8 @@ def halo_exchange_axis(
 ):
     """Fill the ``nb``-wide halos of ``f`` along ``axis`` from the neighbouring
     shards on mesh axis ``axis_name``."""
+    if nb == 0:
+        return f
     n = lax.axis_size(axis_name)
     if n == 1:
         if periodic:
@@ -110,9 +112,12 @@ def halo_exchange(
     periodic: Tuple[bool, bool] = (True, True),
 ):
     """Exchange halos along both horizontal axes (x first, then y including the
-    just-filled x-halos, so corner ghosts are consistent)."""
-    f = halo_exchange_axis(f, nb, 0, axis_names[0], periodic[0])
-    f = halo_exchange_axis(f, nb, 1, axis_names[1], periodic[1])
+    just-filled x-halos, so corner ghosts are consistent).  ``nb`` may be an
+    int (same width both axes) or an ``(nbx, nby)`` pair — degenerate mesh
+    axes carry width 0 (a no-op)."""
+    nbx, nby = (nb, nb) if isinstance(nb, int) else nb
+    f = halo_exchange_axis(f, nbx, 0, axis_names[0], periodic[0])
+    f = halo_exchange_axis(f, nby, 1, axis_names[1], periodic[1])
     return f
 
 
@@ -122,6 +127,8 @@ def _exchange_axis_multi(fs, nb: int, axis: int, axis_name: str, periodic: bool)
     per direction, so N fields cost 2 collectives instead of 2·N — fewer
     collective launches to hide behind compute.  Packing is copy-only:
     bitwise identical to per-field exchange."""
+    if nb == 0:
+        return list(fs)
     n = lax.axis_size(axis_name)
     if n == 1:
         return [halo_exchange_axis(f, nb, axis, axis_name, periodic) for f in fs]
@@ -177,13 +184,15 @@ def halo_exchange_multi(
     periodic: Tuple[bool, bool] = (True, True),
 ):
     """Fused halo exchange of a LIST of same-dtype fields (2 ppermutes per
-    axis total).  Semantically identical to mapping :func:`halo_exchange`."""
+    axis total).  Semantically identical to mapping :func:`halo_exchange`.
+    ``nb`` may be an int or an ``(nbx, nby)`` pair."""
     fields = list(fields)
     if not fields:
         return fields
     assert all(f.dtype == fields[0].dtype for f in fields), (
         "halo_exchange_multi packs one message: fields must share a dtype"
     )
-    fields = _exchange_axis_multi(fields, nb, 0, axis_names[0], periodic[0])
-    fields = _exchange_axis_multi(fields, nb, 1, axis_names[1], periodic[1])
+    nbx, nby = (nb, nb) if isinstance(nb, int) else nb
+    fields = _exchange_axis_multi(fields, nbx, 0, axis_names[0], periodic[0])
+    fields = _exchange_axis_multi(fields, nby, 1, axis_names[1], periodic[1])
     return fields

@@ -50,7 +50,21 @@ class CartesianDecomposition:
     ppermute-fill vs physical-BC-fill (SURVEY.md §5.8).
     """
 
-    def __init__(self, nx: int, ny: int, mesh: Mesh, nb: int) -> None:
+    def __init__(
+        self,
+        nx: int,
+        ny: int,
+        mesh: Mesh,
+        nb: int,
+        pad_x: Optional[int] = None,
+        pad_y: Optional[int] = None,
+    ) -> None:
+        """``pad_x``/``pad_y`` are the shard-local ghost-ring widths (default
+        ``nb``).  Degenerate axes (mesh extent 1, non-periodic) may carry pad
+        0 — local coordinates then equal global ones and the shard runs the
+        exact single-device program; the pallas whole-stage path needs pad
+        ``nb + 1`` (the in-kernel Montgomery gradient reads the advected
+        density one cell into the halo; see ``prognostic.stage_call_fused_v2``)."""
         self.mesh = mesh
         self.nb = nb
         self.px, self.py = mesh.devices.shape
@@ -58,10 +72,13 @@ class CartesianDecomposition:
         assert ny % self.py == 0, f"ny={ny} not divisible by mesh y-extent {self.py}"
         self.nx, self.ny = nx, ny
         self.bx, self.by = nx // self.px, ny // self.py
-        assert self.bx >= nb and self.by >= nb, (
-            f"shard block ({self.bx}, {self.by}) smaller than halo width {nb}"
+        self.pad_x = nb if pad_x is None else pad_x
+        self.pad_y = nb if pad_y is None else pad_y
+        assert self.bx >= max(nb, self.pad_x) and self.by >= max(nb, self.pad_y), (
+            f"shard block ({self.bx}, {self.by}) smaller than halo width "
+            f"({max(nb, self.pad_x)}, {max(nb, self.pad_y)})"
         )
 
     @property
     def local_shape_with_halo(self) -> Tuple[int, int]:
-        return (self.bx + 2 * self.nb, self.by + 2 * self.nb)
+        return (self.bx + 2 * self.pad_x, self.by + 2 * self.pad_y)

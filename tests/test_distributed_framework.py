@@ -103,11 +103,15 @@ def test_flagship_sus_bitwise_vs_single_device(flagship, shape):
     )
     for k in dm._names:
         a = np.asarray(fields_sd[k])
-        sx, sy, _ = field_stagger_axes(k)
-        if sx:
-            a = a[:-1]
-        if sy:
-            a = a[:, :-1]
+        if not dm.degenerate:
+            # carried state is cell-anchored; the full staggered fields (incl.
+            # the step-computed last global faces) are compared via gather in
+            # test_gather_assembles_staggered
+            sx, sy, _ = field_stagger_axes(k)
+            if sx:
+                a = a[:-1]
+            if sy:
+                a = a[:, :-1]
         np.testing.assert_array_equal(a, np.asarray(fields_d[k]), err_msg=k)
     # the state really is distributed
     s = fields_d["air_isentropic_density"]
