@@ -70,6 +70,7 @@ def initialize_distributed(
 def make_hybrid_mesh(
     mesh_shape: Optional[Tuple[int, int]] = None,
     axis_names: Tuple[str, str] = ("x", "y"),
+    process_grid: Optional[Tuple[int, int]] = None,
 ):
     """A 2-D mesh whose per-host device blocks are contiguous, so halo
     ppermutes between devices of the same host ride ICI and only host-block
@@ -78,8 +79,11 @@ def make_hybrid_mesh(
     With one process this reduces to :func:`tasmania_tpu.parallel.make_mesh`.
     With multiple processes it delegates to
     ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` — the DCN axis
-    splits the slower (first) mesh axis, i.e. hosts are stacked along x.
-    """
+    splits the slower (first) mesh axis, i.e. hosts are stacked along x —
+    unless ``process_grid=(prx, pry)`` asks for a 2-D arrangement of
+    per-process device blocks (both mesh axes then cross process boundaries;
+    tests/multihost_worker.py exercises the (2, 2) case with real
+    cross-address-space collectives on x AND y)."""
     import jax
     from jax.sharding import Mesh
 
@@ -95,6 +99,27 @@ def make_hybrid_mesh(
 
     if nproc == 1:
         return make_mesh(devices, shape=mesh_shape, axis_names=axis_names)
+
+    if process_grid is not None:
+        prx, pry = process_grid
+        assert prx * pry == nproc, f"process grid {prx}x{pry} != {nproc}"
+        assert px % prx == 0 and py % pry == 0, (
+            f"mesh {px}x{py} not divisible by process grid {prx}x{pry}"
+        )
+        bx, by = px // prx, py // pry
+        grid = np.empty((px, py), dtype=object)
+        for p in range(nproc):
+            dv = sorted(
+                (d for d in devices if d.process_index == p), key=lambda d: d.id
+            )
+            assert len(dv) == bx * by, (
+                f"process {p} has {len(dv)} devices, need {bx * by}"
+            )
+            r, c = divmod(p, pry)
+            grid[r * bx : (r + 1) * bx, c * by : (c + 1) * by] = np.array(
+                dv, dtype=object
+            ).reshape(bx, by)
+        return Mesh(grid, axis_names)
 
     assert px % nproc == 0, (
         f"mesh x-extent {px} must be divisible by process count {nproc} "

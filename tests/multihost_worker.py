@@ -1,11 +1,13 @@
-"""Worker process for the 2-process distributed-execution test.
+"""Worker process for the multi-process distributed-execution tests.
 
-Launched by ``tests/test_multihost.py::test_two_process_distributed_model``
-as ``python tests/multihost_worker.py <port> <process_id> <num_processes>``.
-Each process owns 4 virtual CPU devices; the two processes form one
-``jax.distributed`` cluster whose (4, 2) hybrid mesh spans both address
-spaces, so every halo ppermute crossing the host-block edge is a REAL
-cross-process collective (the DCN path of BASELINE config 5).
+Launched by ``tests/test_multihost.py`` as ``python tests/multihost_worker.py
+<port> <process_id> <num_processes> [ndev_local] [prx] [pry]``.  Each process
+owns ``ndev_local`` virtual CPU devices; the processes form one
+``jax.distributed`` cluster whose (4, 2) hybrid mesh spans all address
+spaces, so every halo ppermute crossing a host-block edge is a REAL
+cross-process collective (the DCN path of BASELINE config 5).  With
+``prx x pry`` given, per-process device blocks are arranged in a 2-D process
+grid — collectives cross processes on BOTH mesh axes (VERDICT r4 next #7).
 
 The worker certifies, in its own address space:
   * the 3-step distributed flagship trajectory (moist SUS chain, relaxed BCs,
@@ -34,11 +36,14 @@ import jax
 
 # the axon sitecustomize ignores env overrides; these are what actually stick
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update(
+    "jax_num_cpu_devices", int(sys.argv[4]) if len(sys.argv) > 4 else 4
+)
 jax.config.update("jax_enable_x64", True)
 
 
-def main(port: int, pid: int, nproc: int) -> None:
+def main(port: int, pid: int, nproc: int, ndev: int = 4, prx: int = 0,
+         pry: int = 0) -> None:
     from tasmania_tpu.parallel.multihost import (
         initialize_distributed,
         make_hybrid_mesh,
@@ -48,8 +53,8 @@ def main(port: int, pid: int, nproc: int) -> None:
         f"localhost:{port}", num_processes=nproc, process_id=pid
     )
     assert jax.process_count() == nproc, jax.process_count()
-    assert len(jax.devices()) == 4 * nproc, len(jax.devices())
-    assert len(jax.local_devices()) == 4
+    assert len(jax.devices()) == ndev * nproc, len(jax.devices())
+    assert len(jax.local_devices()) == ndev
 
     import importlib
 
@@ -99,11 +104,17 @@ def main(port: int, pid: int, nproc: int) -> None:
         fields_sd = sd_jit(dict(fields_sd), fact * hs)
     fields_sd = {k: np.asarray(v) for k, v in fields_sd.items()}
 
-    # ---- distributed run over the 2-process (4, 2) hybrid mesh -------------- #
-    mesh = make_hybrid_mesh((4, 2))
+    # ---- distributed run over the multi-process (4, 2) hybrid mesh ---------- #
+    pgrid = (prx, pry) if prx > 0 else None
+    mesh = make_hybrid_mesh((4, 2), process_grid=pgrid)
     assert mesh.devices.shape == (4, 2)
     span = {d.process_index for d in mesh.devices.reshape(-1)}
     assert span == set(range(nproc)), f"mesh does not span processes: {span}"
+    if pgrid is not None:
+        # both mesh axes must cross process boundaries
+        procs = np.vectorize(lambda d: d.process_index)(mesh.devices)
+        assert any(len(set(procs[i, :])) > 1 for i in range(procs.shape[0]))
+        assert any(len(set(procs[:, j])) > 1 for j in range(procs.shape[1]))
 
     dm = DistributedModel(
         domain, state, mesh, lambda dom: build_model(nl, dom, pt), dt_s
@@ -138,4 +149,4 @@ def main(port: int, pid: int, nproc: int) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
+    main(*(int(a) for a in sys.argv[1:]))
