@@ -410,10 +410,16 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         q_names = (mfwv, mfcw, mfpw) if self._moist else ()
         derive = self.derive_velocities_at(stage)
         skip_xband = os.environ.get("TASMANIA_SKIP_XBAND") == "1"
-        dist_kwargs = {}
+        extra_kwargs = {}
+        # the derive-velocities stages drop the u/v inputs from the kernel's
+        # VMEM budget, so they can afford a wider x-tile than stage 0
+        # (tuning knob; trace-time env read)
+        tile_env = os.environ.get("TASMANIA_TILE_X_STAGE_DERIVE")
+        if derive and tile_env:
+            extra_kwargs["tile_x"] = int(tile_env)
         if self._is_distributed():
             pad_x, pad_y = hb.pads
-            dist_kwargs = dict(
+            extra_kwargs.update(
                 dist=True,
                 goff=hb.global_offset_array(),
                 gnx=hb._gnx,
@@ -461,7 +467,7 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             derive_velocities=derive,
             skip_xband=skip_xband,
             interpret=self._backend == "pallas:interpret",
-            **dist_kwargs,
+            **extra_kwargs,
         )
         result = {
             "air_isentropic_density": outs[0],

@@ -59,7 +59,7 @@ def _dfdz(order: int, rho, h, q, vt):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("order", "dt", "tile_x", "interpret")
+    jax.jit, static_argnames=("order", "dt", "tile_x", "vt_mode", "interpret")
 )
 def fused_sedimentation_rk3ws(
     rho,
@@ -69,6 +69,7 @@ def fused_sedimentation_rk3ws(
     order: int = 1,
     dt: float = 1.0,
     tile_x: int = 16,
+    vt_mode: str = "stage",
     interpret: bool = False,
 ):
     """Three-stage RK3WS update of qr under rain sedimentation.
@@ -115,8 +116,18 @@ def fused_sedimentation_rk3ws(
             cb = d2 / (d1 * d3) * inv_rho
             cc = (h2 - h1) / (d2 * d3) * inv_rho
 
-        def tendency(qi):
-            vt = _fall_velocity_weighted(mrho, wsq, qi)
+        def tendency(qi, vt_frozen=None):
+            # vt_mode="step" (TASMANIA_SED_VT=step, experimental): the
+            # qr^0.1346 fall-velocity power — the kernel's dominant cost,
+            # BENCH_NOTES kernel_roofline — is evaluated at stage 1 only and
+            # reused; vt varies slowly within a step, but this DEVIATES from
+            # the reference's per-stage evaluation (scheme change, off by
+            # default; adopt only if the golden umax is untouched)
+            vt = (
+                vt_frozen
+                if vt_frozen is not None
+                else _fall_velocity_weighted(mrho, wsq, qi)
+            )
             rqv = rhov * qi * vt
             if order == 1:
                 d = ca * (rqv[..., :-1] - rqv[..., 1:])
@@ -126,10 +137,11 @@ def fused_sedimentation_rk3ws(
             return jnp.concatenate([z, d], axis=-1), vt
 
         t1, vt1 = tendency(q0)
+        frozen = vt1 if vt_mode == "step" else None
         q1 = q0 + c1 * t1
-        t2, _ = tendency(q1)
+        t2, _ = tendency(q1, frozen)
         q2 = q0 + c2 * t2
-        t3, _ = tendency(q2)
+        t3, _ = tendency(q2, frozen)
         out_q[:] = q0 + c3 * t3
         out_vt[:] = vt1
 

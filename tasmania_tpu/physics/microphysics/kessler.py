@@ -412,12 +412,15 @@ def _sedimentation_chain_fuser(components, state, dt, output_properties):
     props.update(sed.input_properties)
     props.pop("raindrop_fall_velocity", None)  # produced inside the chain
     raw = get_array_dict(state, props)
+    import os
+
     q_out, vt1 = fused_sedimentation_rk3ws(
         raw["air_density"],
         raw["height_on_interface_levels"],
         raw[mfpw],
         order=sed._sflux.nb,
         dt=float(dt),
+        vt_mode=os.environ.get("TASMANIA_SED_VT", "stage"),
         interpret=sed.backend == "pallas:interpret",
     )
     out = {mfpw: FieldArray(q_out, output_properties[mfpw]["units"], DIMS)}
