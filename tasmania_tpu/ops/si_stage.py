@@ -596,7 +596,7 @@ def fused_si_stage(
     # ONE in-place (aliased) edge write per array — an `.at[].set` chain
     # made XLA re-materialize every full array, 0.72 ms/step at the
     # flagship size (BENCH_NOTES r4_residue_itemization)
-    from tasmania_tpu.ops.paste import paste_x_edges
+    from tasmania_tpu.ops.paste import paste_x_edges_multi
 
     if dist:
         # per-shard strips: which of the outer epi_w local columns are global
@@ -620,10 +620,7 @@ def fused_si_stage(
 
         lo = compose(slice(0, W), gx0v + jnp.arange(W))
         hi = compose(slice(nx - W, nx), gx0v + (nx - W) + jnp.arange(W))
-        return tuple(
-            paste_x_edges(a, l, h, interpret=interpret)
-            for a, l, h in zip(arrs0, lo, hi)
-        )
+        return paste_x_edges_multi(arrs0, lo, hi, interpret=interpret)
 
     lo_f = frame_vals(slice(0, nb))
     hi_f = frame_vals(slice(nx - nb, nx))
@@ -634,11 +631,11 @@ def fused_si_stage(
         hi = [jnp.concatenate([b, f], axis=0) for f, b in zip(hi_f, hi_b)]
     else:
         lo, hi = lo_f, hi_f
-    arrs = [s_o, su_o, sv_o] + q_o
-    arrs = [
-        paste_x_edges(a, l, h, interpret=interpret)
-        for a, l, h in zip(arrs, lo, hi)
-    ]
+    arrs = list(
+        paste_x_edges_multi(
+            [s_o, su_o, sv_o] + q_o, lo, hi, interpret=interpret
+        )
+    )
 
     if not with_velocities:
         return tuple(arrs)

@@ -102,10 +102,14 @@ def _smag_stage(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(s, su_st, sv_st, su_base, sv_base)
-    from tasmania_tpu.ops.paste import paste_x_edges
+    from tasmania_tpu.ops.paste import paste_x_edges_multi
 
-    osu = paste_x_edges(osu, su_base[:nb], su_base[nx - nb :], interpret=interpret)
-    osv = paste_x_edges(osv, sv_base[:nb], sv_base[nx - nb :], interpret=interpret)
+    osu, osv = paste_x_edges_multi(
+        (osu, osv),
+        (su_base[:nb], sv_base[:nb]),
+        (su_base[nx - nb :], sv_base[nx - nb :]),
+        interpret=interpret,
+    )
     return osu, osv
 
 

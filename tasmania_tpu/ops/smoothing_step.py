@@ -114,11 +114,13 @@ def fused_smoothing(
         out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), fields[0].dtype)] * F,
         interpret=interpret,
     )(gamma, *fields)
-    from tasmania_tpu.ops.paste import paste_x_edges
+    from tasmania_tpu.ops.paste import paste_x_edges_multi
 
     # in-place aliased edge writes instead of .at[].set re-materialization
-    # (BENCH_NOTES r4_residue_itemization)
-    return tuple(
-        paste_x_edges(out, phi[:nb], phi[nx - nb :], interpret=interpret)
-        for out, phi in zip(outs, fields)
+    # (BENCH_NOTES r4_residue_itemization); ONE batched call for all fields
+    return paste_x_edges_multi(
+        outs,
+        [phi[:nb] for phi in fields],
+        [phi[nx - nb :] for phi in fields],
+        interpret=interpret,
     )
