@@ -390,3 +390,30 @@ def test_fused_kessler_rk2_chain_matches_generic():
             np.asarray(d_ref["tendency_of_air_potential_temperature"].data),
             rtol=1e-5, atol=1e-9, err_msg=build.__name__,
         )
+
+
+def test_smag_rk2_single_kernel_matches_two_launch():
+    """The whole-RK2 single-kernel Smagorinsky path (r5) is bitwise equal to
+    the two-launch pair: same per-column arithmetic, the su1/sv1
+    intermediates just never leave VMEM."""
+    import os
+
+    from tasmania_tpu.ops.smagorinsky_step import (
+        _smag_rk2_fused,
+        _smag_stage,
+    )
+
+    rng = np.random.default_rng(11)
+    nx, ny, nz = 27, 21, 5
+    s = jnp.asarray(rng.uniform(40.0, 60.0, (nx, ny, nz)))
+    su = jnp.asarray(rng.normal(500.0, 50.0, (nx, ny, nz)))
+    sv = jnp.asarray(rng.normal(100.0, 40.0, (nx, ny, nz)))
+    kw = dict(dx=2200.0, dy=2200.0, cs=0.18, nb=3, interpret=True)
+
+    su1, sv1 = _smag_stage(s, su, sv, su, sv, c=0.5 * 5.0, tile_x=8, **kw)
+    ref = _smag_stage(s, su1, sv1, su, sv, c=5.0, tile_x=8, **kw)
+    out = _smag_rk2_fused(s, su, sv, dt=5.0, tile_x=8, **kw)
+    for name, a, b in zip(("su", "sv"), out, ref):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
