@@ -82,6 +82,7 @@ def build_components(nl, domain, pt, common):
         domain,
         "numerical",
         sedimentation_flux_scheme=nl.sedimentation_flux_scheme,
+        vt_mode=getattr(nl, "sedimentation_vt_mode", "stage"),
         **common,
     )
     c["ap"] = Precipitation(domain, "numerical", **common)

@@ -229,6 +229,7 @@ def build_model(nl, domain, pt, skip=()):
         domain,
         "numerical",
         sedimentation_flux_scheme=nl.sedimentation_flux_scheme,
+        vt_mode=getattr(nl, "sedimentation_vt_mode", "stage"),
         **common,
     )
     if "sedimentation" not in skip:

@@ -232,17 +232,8 @@ class IsentropicDynamicalCore(DynamicalCore):
                 self._damper._rmat[False][0, :, : self.grid.nz],
                 dtype=raw_state["air_isentropic_density"].dtype,
             )
-        out = self._prognostic.stage_call_fused_epilogue(
-            stage, timestep, raw_state, raw_tendencies, rmat=rmat, dtf=timestep
-        )
-        # distributed: the kernel applied BC + damping in-VMEM, but the next
-        # stage (and the physics chain) consume the halos — refresh them via
-        # the fused exchange (the single-device path's enforce does this at
-        # the same seam, parallel/distributed.py::enforce_raw)
         sync = getattr(hb, "post_stage_sync", None)
-        if sync is not None:
-            out = sync(out)
-        if (
+        intermediate_private = (
             stage < self.stages - 1
             # the skip decides stage N+1's behaviour from stage N's
             # tendencies, which is only sound when NO component can change
@@ -257,10 +248,26 @@ class IsentropicDynamicalCore(DynamicalCore):
             and self.superfast_diagnostic_component is None
             and self.substeps == 0
             and getattr(self._prognostic, "derive_velocities_at", None)
+            is not None
             and self._prognostic.derive_velocities_at(
                 stage + 1, raw_state, raw_tendencies
             )
-        ):
+        )
+        out = self._prognostic.stage_call_fused_epilogue(
+            stage, timestep, raw_state, raw_tendencies, rmat=rmat, dtf=timestep,
+            # frame pipeline: this stage's output is consumed ONLY by the
+            # next fused stage (no velocity refresh, no halo sync), so the
+            # prognostic may defer its keep-now x-frame paste to the final
+            # stage (ops/si_stage r5 frame pipeline)
+            pipeline_out=intermediate_private and sync is None,
+        )
+        # distributed: the kernel applied BC + damping in-VMEM, but the next
+        # stage (and the physics chain) consume the halos — refresh them via
+        # the fused exchange (the single-device path's enforce does this at
+        # the same seam, parallel/distributed.py::enforce_raw)
+        if sync is not None:
+            out = sync(out)
+        if intermediate_private:
             # the NEXT stage reconstructs the advective velocities inside its
             # kernel from this stage's s/su/sv outputs; the u/v state entries
             # are untouched (and unread) until the final stage refreshes them

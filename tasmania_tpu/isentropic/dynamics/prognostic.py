@@ -370,14 +370,26 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         return stage > 0 and os.environ.get("TASMANIA_DERIVE_UV", "1") == "1"
 
     def stage_call_fused_v2(
-        self, stage, timestep, state, tendencies, *, rmat=None, dtf=None
+        self, stage, timestep, state, tendencies, *, rmat=None, dtf=None,
+        pipeline_out=False,
     ):
         """One SI stage in ONE Pallas kernel (``ops/si_stage.fused_si_stage``):
         advection + in-VMEM Montgomery + momentum + the full epilogue; bitwise
-        vs ``stage_call_fused_epilogue`` (tests/test_si_stage.py)."""
+        vs ``stage_call_fused_epilogue`` (tests/test_si_stage.py).
+
+        ``pipeline_out=True`` (dycore: nothing reads this stage's output
+        except the next fused stage) lets the kernel skip its keep-now
+        x-frame paste; this stage's frame strips are stashed and the NEXT
+        stage overlays them into its stencil windows (ops/si_stage r5 frame
+        pipeline) — final step outputs are bitwise unchanged."""
         import jax.numpy as jnp
 
-        from tasmania_tpu.ops.si_stage import fused_si_stage
+        from tasmania_tpu.ops import si_stage as _si
+        from tasmania_tpu.ops.si_stage import (
+            compute_frame_strips,
+            fused_si_stage,
+            tile_and_band,
+        )
 
         if stage == 0:
             self._capture_now(state)
@@ -427,6 +439,30 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
                 yb=max(8, pad_y + nr),
                 epi_w=pad_x + nr,
             )
+
+        # frame pipeline (r5): engage only when the kernel's in-kernel band
+        # mode holds at this geometry (else the kernel would ignore the
+        # flags and the stash bookkeeping would go stale)
+        nx_l = state["air_isentropic_density"].shape[0]
+        _, _, _, band_ik = tile_and_band(
+            nx_l, self._hflux.order, nb, nr,
+            extra_kwargs.get("tile_x", _si._STAGE_TILE_X),
+        )
+        pipe_out = (
+            bool(pipeline_out)
+            and band_ik
+            and os.environ.get("TASMANIA_BAND_IK", "1") == "1"
+            and os.environ.get("TASMANIA_FRAME_PIPELINE", "1") == "1"
+            and not self._is_distributed()
+            and not skip_xband
+        )
+        overlay = self._pipe_strips if stage > 0 else None
+        if overlay is not None:
+            extra_kwargs.update(
+                overlay_frame=True,
+                frame_lo=overlay[0],
+                frame_hi=overlay[1],
+            )
         outs = fused_si_stage(
             None if derive else state["x_velocity_at_u_locations"],
             None if derive else state["y_velocity_at_v_locations"],
@@ -466,9 +502,36 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             dd=dd,
             derive_velocities=derive,
             skip_xband=skip_xband,
+            finish_frame=not pipe_out,
             interpret=self._backend == "pallas:interpret",
             **extra_kwargs,
         )
+        dtf_v = float(dtf if dtf is not None else timestep)
+        if pipe_out:
+            q_now_t = tuple(self._now[q] for q in q_names)
+            q_ref_t = tuple(refs[q] for q in q_names)
+            strip_args = (
+                self._now["air_isentropic_density"],
+                self._now["x_momentum_isentropic"],
+                self._now["y_momentum_isentropic"],
+                q_now_t,
+                gamma,
+                refs["air_isentropic_density"],
+                refs["x_momentum_isentropic"],
+                refs["y_momentum_isentropic"],
+                q_ref_t,
+                rm,
+                dtf_v,
+                do_damp,
+            )
+            self._pipe_strips = (
+                tuple(compute_frame_strips(slice(0, nb), *strip_args)),
+                tuple(
+                    compute_frame_strips(slice(nx_l - nb, nx_l), *strip_args)
+                ),
+            )
+        else:
+            self._pipe_strips = None
         result = {
             "air_isentropic_density": outs[0],
             "x_momentum_isentropic": outs[1],
@@ -488,7 +551,8 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
         return result
 
     def stage_call_fused_epilogue(
-        self, stage, timestep, state, tendencies, *, rmat=None, dtf=None
+        self, stage, timestep, state, tendencies, *, rmat=None, dtf=None,
+        pipeline_out=False,
     ):
         """One SI stage with the dycore epilogue fused into the kernels
         (``ops/advection_step.fused_momentum_epilogue``): returns the FINAL
@@ -502,7 +566,8 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
 
         if self._supports_stage_v2(state, tendencies):
             return self.stage_call_fused_v2(
-                stage, timestep, state, tendencies, rmat=rmat, dtf=dtf
+                stage, timestep, state, tendencies, rmat=rmat, dtf=dtf,
+                pipeline_out=pipeline_out,
             )
         assert not self._is_distributed(), (
             "the distributed pallas path has only the whole-stage kernel; "
@@ -963,6 +1028,10 @@ class IsentropicPrognostic(DomainComponent, StencilFactory):
             # per stage inside the step kernels (never materialized)
             names += [mfwv, mfcw, mfpw]
         self._now = {n: state[n] for n in names}
+        # frame-pipeline stash: strips of the PREVIOUS stage's keep-now
+        # x-frame columns, set by stage_call_fused_v2 when it skips its
+        # paste; a fresh step always starts clean
+        self._pipe_strips = None
 
     def stage_call(self, stage: int, timestep: float, state, tendencies) -> Dict[str, Any]:
         raise NotImplementedError

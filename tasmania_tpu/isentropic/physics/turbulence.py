@@ -93,3 +93,115 @@ class IsentropicSmagorinsky(Smagorinsky2d):
             {"x_momentum_isentropic": out_su, "y_momentum_isentropic": out_sv},
             {},
         )
+
+
+# ------------------------------------------------------------------------------ #
+# SUS process-pair fuser: [HorizontalSmoothing -> Smagorinsky(rk2)] (r5)         #
+# ------------------------------------------------------------------------------ #
+
+
+def _smooth_smag_pair_matches(comp_a, stepper_b) -> bool:
+    import os
+
+    from tasmania_tpu.isentropic.physics.horizontal_smoothing import (
+        IsentropicHorizontalSmoothing,
+    )
+
+    if os.environ.get("TASMANIA_FUSE_SMOOTH_SMAG", "1") != "1":
+        return False
+    if not isinstance(comp_a, IsentropicHorizontalSmoothing):
+        return False
+    if not comp_a.backend.startswith("pallas") or comp_a._core.axis is not None:
+        return False
+    if getattr(stepper_b, "name", "") != "rk2" or getattr(
+        stepper_b, "_enforce_hb", True
+    ):
+        return False
+    comps = getattr(getattr(stepper_b, "_coupling", None), "components", ())
+    if len(comps) != 1 or not isinstance(comps[0], IsentropicSmagorinsky):
+        return False
+    if not comps[0].backend.startswith("pallas"):
+        return False
+    hb = comp_a.horizontal_boundary
+    if not getattr(hb, "is_degenerate", True):
+        # the merged kernel's frame protocol is local-coordinate; distributed
+        # runs keep the two shard-aware passes
+        return False
+    n = comp_a._core.order
+    nb = hb.nb
+    nx = comp_a.grid.nx
+    return nb >= max(n, 2) and nx >= 2 * nb + 1 and nx >= 8 + 2 * n + 4
+
+
+def _smooth_smag_pair_fuser(comp_a, stepper_b, state, td):
+    """Run ``fused_smoothing_smagorinsky_rk2``: one kernel smooths every
+    field and RK2-steps the momenta; the smoothed momenta (dead values in
+    the sequential pair — Smagorinsky immediately overwrites them) never
+    reach HBM."""
+    import jax.numpy as jnp
+
+    from tasmania_tpu.framework.field import FieldArray, get_array_dict
+    from tasmania_tpu.ops.smagorinsky_step import fused_smoothing_smagorinsky_rk2
+
+    smag = stepper_b._coupling.components[0]
+    names = [
+        "air_isentropic_density",
+        "x_momentum_isentropic",
+        "y_momentum_isentropic",
+    ]
+    gammas = [comp_a._core._gamma] * 3
+    if comp_a._moist:
+        from tasmania_tpu.isentropic.physics.horizontal_smoothing import (
+            mfcw, mfpw, mfwv,
+        )
+
+        names += [mfwv, mfcw, mfpw]
+        gammas += [comp_a._core_moist._gamma] * 3
+    raw = get_array_dict(state, comp_a.input_properties)
+    fields = tuple(raw[nm] for nm in names)
+    gamma = jnp.stack(
+        [jnp.asarray(g, dtype=fields[0].dtype).reshape(-1) for g in gammas]
+    )
+    dx, dy = smag._spacings()
+    import os
+
+    outs = fused_smoothing_smagorinsky_rk2(
+        fields,
+        gamma,
+        order=comp_a._core.order,
+        nb=comp_a.horizontal_boundary.nb,
+        dx=dx,
+        dy=dy,
+        cs=smag._cs,
+        dt=float(td.total_seconds()),
+        # trace-time tuning knob (one variant per process)
+        tile_x=int(os.environ.get("TASMANIA_TILE_X_SMSM", "16")),
+        interpret=comp_a.backend == "pallas:interpret",
+    )
+    dprops = comp_a.diagnostic_properties
+    diagnostics = {
+        names[0]: FieldArray(outs[0], dprops[names[0]]["units"], DIMS)
+    }
+    for i, nm in enumerate(names[3:]):
+        diagnostics[nm] = FieldArray(outs[3 + i], dprops[nm]["units"], DIMS)
+    oprops = stepper_b.output_properties
+    stepped = {
+        "x_momentum_isentropic": FieldArray(
+            outs[1], oprops["x_momentum_isentropic"]["units"], DIMS
+        ),
+        "y_momentum_isentropic": FieldArray(
+            outs[2], oprops["y_momentum_isentropic"]["units"], DIMS
+        ),
+    }
+    return diagnostics, stepped
+
+
+def _register_smooth_smag_pair_fuser() -> None:
+    from tasmania_tpu.framework.splitting import register_process_pair_fuser
+
+    register_process_pair_fuser(
+        _smooth_smag_pair_matches, _smooth_smag_pair_fuser
+    )
+
+
+_register_smooth_smag_pair_fuser()

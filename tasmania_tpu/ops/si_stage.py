@@ -75,6 +75,47 @@ _P = 2   # scratch pad columns per side (covers window overhang <= 2)
 _STAGE_TILE_X = int(os.environ.get("TASMANIA_TILE_X_STAGE", "16"))
 
 
+def tile_and_band(nx, order, nb, nr, tile_x, with_velocities=False):
+    """Static tile geometry shared by the kernel and its callers: (TX, NPROG,
+    BW, band_ik).  ``band_ik`` = the first/last tile own the x-band columns
+    exclusively, so the kernel can finish them in-VMEM (see ``fused_si_stage``
+    Column ownership); callers use it to decide the frame-pipeline mode."""
+    e = 2 if order == 3 else 3
+    VX = 1 if with_velocities else 0
+    NXI = nx - 2 * nb
+    WIN_CAP = nx - (2 + VX + 2 * e)
+    TX = min(tile_x, NXI, WIN_CAP)
+    if TX < 1:
+        return TX, 0, nr - nb, False
+    NPROG = -(-NXI // TX)
+    BW = nr - nb
+    band_ik = BW > 0 and TX >= 2 * BW and (NPROG == 1 or NXI - TX >= BW)
+    return TX, NPROG, BW, band_ik
+
+
+def compute_frame_strips(
+    sl, s_now, su_now, sv_now, q_now, gamma, s_ref, su_ref, sv_ref, q_refs,
+    rmat, dtf, do_damp,
+):
+    """The keep-now x-frame values on slice ``sl`` — EXACTLY the kernel
+    epilogue's ``frame_vals`` (compose from "now": single-enforce s, clip
+    mass fractions, enforce everything, damp) so pipelined stages can overlay
+    the previous stage's frame columns bitwise."""
+    gsl = gamma[sl][:, :, None]
+    r3 = rmat[:, None, :] if do_damp else None
+    s_e = _enforce_relaxed(s_now[sl], gsl, s_ref[sl])
+    q_raw = [_clip_pos(_clip_pos(s_now[sl] * qn[sl]) / s_e) for qn in q_now]
+    s_f = _enforce_relaxed(s_e, gsl, s_ref[sl])
+    su_f = _enforce_relaxed(su_now[sl], gsl, su_ref[sl])
+    sv_f = _enforce_relaxed(sv_now[sl], gsl, sv_ref[sl])
+    if do_damp:
+        s_f = s_f - dtf * r3 * (s_now[sl] - s_ref[sl])
+        su_f = su_f - dtf * r3 * (su_now[sl] - su_ref[sl])
+        sv_f = sv_f - dtf * r3 * (sv_now[sl] - sv_ref[sl])
+    q_f = [_enforce_relaxed(qr, gsl, ref[sl]) for qr, ref in zip(q_raw, q_refs)]
+    return [s_f, su_f, sv_f] + q_f
+
+
 def _div_from_views(order, dx, dy, nb, ny, uf, vf, xs, ybase):
     """Flux divergence over W columns x [nb, ny-nb) rows, given the 2e
     face-aligned x-views xs (each (W+1, ny, nz)) and the center window ybase
@@ -97,6 +138,7 @@ def _div_from_views(order, dx, dy, nb, ny, uf, vf, xs, ybase):
         "nq", "do_damp", "dd", "with_velocities", "derive_velocities",
         "tile_x", "skip_xband", "interpret",
         "dist", "gnx", "gny", "yb", "epi_w",
+        "overlay_frame", "finish_frame",
     ),
 )
 def fused_si_stage(
@@ -148,6 +190,10 @@ def fused_si_stage(
     gny: int = 0,
     yb: int = _YB,   # in-kernel y-band enforcement depth (dist: >= pad_y + nr)
     epi_w: int = 0,  # x-epilogue strip width (dist: pad_x + nr; 0 = nr-by-nb default)
+    overlay_frame: bool = False,  # int-state frame columns ride in as strips
+    frame_lo=None,   # tuple (s, su, sv, *q) of (nb, ny, nz) strips
+    frame_hi=None,
+    finish_frame: bool = True,    # False: leave output frame columns raw
 ):
     """One fused SI stage; returns (s_f, su_f, sv_f, *q_f[, u_f, v_f]),
     full arrays (staggered u (nx+1, ny, nz) / v (nx, ny+1, nz) when
@@ -190,9 +236,33 @@ def fused_si_stage(
     NXI = nx - 2 * nb
     VX = 1 if with_velocities else 0
     # the widest window (s stencil, Wm + 2e) must fit in the array
-    WIN_CAP = nx - (2 + VX + 2 * e)
-    TX = min(tile_x, NXI, WIN_CAP)
+    TX, NPROG, BW, band_ik = tile_and_band(
+        nx, order, nb, nr, tile_x, with_velocities
+    )
     assert TX >= 1, "grid too small for the fused stage (use the 2-kernel path)"
+    # in-kernel x-band finishing (r5): the first/last tile apply the FULL
+    # per-row lateral BC + damping to the band columns they own (the full
+    # reference fields are in scope — only their 2*BW band columns ride into
+    # VMEM), so the XLA epilogue shrinks to the nb-wide keep-now frame.
+    # Requires the band columns to be owned by pid 0 / the last pid ALONE:
+    # the clamped last tile must not reach back into the left band
+    # (NXI - TX >= BW), and a single tile must fit both bands disjointly.
+    # TASMANIA_BAND_IK=0 restores the XLA band epilogue (perf A/B knob; read
+    # at trace time — one variant per process, like TASMANIA_TILE_X_STAGE)
+    band_ik = (
+        band_ik and not dist and os.environ.get("TASMANIA_BAND_IK", "1") == "1"
+    )
+    # frame pipeline (r5): intermediate stages of a fused RK step neither
+    # paste nor recompute the keep-now x-frame — the NEXT stage overlays the
+    # (step-invariant per damp-config) frame strips into its stencil windows,
+    # and only the final stage pays one nb-wide paste.  Both modes require
+    # the in-kernel band.
+    overlay_eff = overlay_frame and band_ik
+    finish_eff = finish_frame or not band_ik
+    if overlay_eff:
+        assert frame_lo is not None and frame_hi is not None
+        assert len(frame_lo) == len(frame_hi) == 3 + nq
+        assert not with_velocities
     Wm = TX + 2 + VX        # density/Montgomery window, cells [t0-1-VX, t0+TX+1)
     Wp = TX + VX            # momentum window, cells [t0-VX, t0+TX)
     WIN_S = Wm + 2 * e      # s_int stencil fetch
@@ -200,6 +270,7 @@ def fused_si_stage(
     jin = slice(nb, ny - nb)
     dtype = s_now.dtype
     dd_eff = dd if do_damp else 1
+
 
     def kernel(*refs):
         refs, spad_ref, supad_ref, svpad_ref = refs[:-3], *refs[-3:]
@@ -223,6 +294,12 @@ def fused_si_stage(
         suyb_ref, svyb_ref = refs[pos : pos + 2]; pos += 2
         qyb_refs = refs[pos : pos + nq]; pos += nq
         sutop_ref, svtop_ref, rm_ref = refs[pos : pos + 3]; pos += 3
+        if band_ik:
+            surb_ref, svrb_ref = refs[pos : pos + 2]; pos += 2
+            qrb_refs = refs[pos : pos + nq]; pos += nq
+        if overlay_eff:
+            flo_refs = refs[pos : pos + 3 + nq]; pos += 3 + nq
+            fhi_refs = refs[pos : pos + 3 + nq]; pos += 3 + nq
         out_refs = refs[pos:]
 
         pid = pl.program_id(0)
@@ -249,6 +326,36 @@ def fused_si_stage(
         del_m = nom_m - jnp.clip(nom_m, 0, nx - WIN_M)
         fill_pad(supad_ref, sui_ref[:], WIN_M)
         fill_pad(svpad_ref, svi_ref[:], WIN_M)
+
+        if overlay_eff:
+            # the int-state arrays carry RAW frame columns (the previous
+            # stage skipped its paste): overwrite every pad position that
+            # corresponds to a GLOBAL frame column with the strip value.
+            # Column-by-column, global-coordinate logic — ANY tile whose
+            # clamped window reaches a frame column gets the overlay, not
+            # just the first/last tile (at small nx an interior tile's
+            # window spans a frame, r5 NaN bug).  A column outside this
+            # tile's window degenerates to a no-op rewrite at a clamped
+            # position.  Unconditional read-select-write: pl.when write
+            # blocks measured -7% end-to-end here (r5).
+            def overlay(pad, width, cstart, lo_strip, hi_strip):
+                ptot = width + 2 * _P
+                for g in list(range(nb)) + list(range(nx - nb, nx)):
+                    pos = jnp.clip(_P + g - cstart, 0, ptot - 1)
+                    if g < nb:
+                        in_win = cstart <= g
+                        val = lo_strip[g : g + 1]
+                    else:
+                        in_win = cstart + width > g
+                        val = hi_strip[g - (nx - nb) : g - (nx - nb) + 1]
+                    cur = pad[pl.ds(pos, 1)]
+                    pad[pl.ds(pos, 1)] = jnp.where(in_win, val, cur)
+
+            cstart_s = nom_s - del_s
+            cstart_m = nom_m - del_m
+            overlay(spad_ref, WIN_S, cstart_s, flo_refs[0], fhi_refs[0])
+            overlay(supad_ref, WIN_M, cstart_m, flo_refs[1], fhi_refs[1])
+            overlay(svpad_ref, WIN_M, cstart_m, flo_refs[2], fhi_refs[2])
 
         if derive_velocities:
             # u faces [t0-1-VX, t0+TX+2) need cells [t0-2-VX, t0+TX+2) of
@@ -368,7 +475,10 @@ def fused_si_stage(
         # value — the caller applies the second enforcement + damping there)
         s_e2_p = _enforce_relaxed(s_e_p, g_p, sref_p)
         s_dmp_p = damp_top(s_e2_p, s_now_p, sref_p[..., :dd_eff])
-        s_f_p = jnp.where(band_p, s_e_p, s_dmp_p)
+        # band_ik: the XLA band epilogue computes exactly enforce+damp of the
+        # single-enforced density — s_dmp_p already IS that value, so the
+        # band columns are final without reverting to s_e_p
+        s_f_p = s_dmp_p if band_ik else jnp.where(band_p, s_e_p, s_dmp_p)
         out_refs[0][0:TX] = s_f_p[ctp]
 
         # --- momentum on the Wp window ------------------------------------- #
@@ -411,15 +521,84 @@ def fused_si_stage(
         sv_dmp = damp_top(sv_enf, sv_n, svtop_ref[:])
         su_f_p = jnp.where(band_p, su_pre, su_dmp)
         sv_f_p = jnp.where(band_p, sv_pre, sv_dmp)
-        out_refs[1][0:TX] = su_f_p[ctp]
-        out_refs[2][0:TX] = sv_f_p[ctp]
+
+        # --- in-kernel x-band finishing (su/sv; band_ik) -------------------- #
+        # identical algebra to the XLA ``band_vals``/``full_epilogue`` path:
+        # full-per-row relaxation toward the band columns of the TRUE
+        # reference fields, then Rayleigh damping (rmat is zero below dd).
+        # Computed unconditionally on the 2*BW head/tail tile columns and
+        # merged with scalar-predicate selects — predicated (pl.when) write
+        # blocks measured -7% end-to-end here (Mosaic serialization, r5).
+        def edge_select(tile_vals, head_fn, tail_fn):
+            """tile_vals with the BW head (tail) columns replaced on the
+            first (last) tile by head_fn/tail_fn values."""
+            head = jnp.where(pid == 0, head_fn(), tile_vals[0:BW])
+            tail = jnp.where(
+                pid == NPROG - 1, tail_fn(), tile_vals[TX - BW : TX]
+            )
+            mid = [tile_vals[BW : TX - BW]] if TX > 2 * BW else []
+            return jnp.concatenate([head] + mid + [tail], axis=0)
+
+        if band_ik:
+
+            def band_momentum(m_pre, m_n, mrb_ref, mtop_ref, wsl, bsl):
+                return damp_top(
+                    _enforce_relaxed(m_pre[wsl], g_wp[wsl], mrb_ref[bsl]),
+                    m_n[wsl],
+                    mtop_ref[wsl],
+                )
+
+            lo_w = slice(VX, VX + BW)
+            hi_w = slice(VX + TX - BW, VX + TX)
+            lo_b = slice(0, BW)
+            hi_b = slice(BW, 2 * BW)
+            out_refs[1][0:TX] = edge_select(
+                su_f_p[ctp],
+                lambda: band_momentum(su_pre, su_n, surb_ref, sutop_ref, lo_w, lo_b),
+                lambda: band_momentum(su_pre, su_n, surb_ref, sutop_ref, hi_w, hi_b),
+            )
+            out_refs[2][0:TX] = edge_select(
+                sv_f_p[ctp],
+                lambda: band_momentum(sv_pre, sv_n, svrb_ref, svtop_ref, lo_w, lo_b),
+                lambda: band_momentum(sv_pre, sv_n, svrb_ref, svtop_ref, hi_w, hi_b),
+            )
+        else:
+            out_refs[1][0:TX] = su_f_p[ctp]
+            out_refs[2][0:TX] = sv_f_p[ctp]
 
         # --- water species -------------------------------------------------- #
         if nq:
             s_int_q = spad_ref[pl.ds(_P + del_s + 1 + VX, TX + 2 * e)]
+            WQ = TX + 2 * e
             for k in range(nq):
                 sq_now = _clip_pos(s_now_t * qn_refs[k][:])
-                sq_int = _clip_pos(s_int_q * qi_refs[k][:])
+                qi = qi_refs[k][:]
+                if overlay_eff:
+                    # q windows are plain (never-clamped) element fetches of
+                    # width TX+2e at global offset (nb-e)+cs: only the first
+                    # e and last e positions CAN be global frame columns
+                    # (interior positions are >= nb+cs and < nx-nb).  Select
+                    # per position by global coordinate — any tile whose
+                    # window reaches a frame gets the strip value, read from
+                    # the strip ref at the traced column index.
+                    qoff = t0 - e  # global col of window index 0
+                    head = []
+                    tail = []
+                    for j in range(e):
+                        gl = qoff + j
+                        vl = flo_refs[3 + k][pl.ds(jnp.clip(gl, 0, nb - 1), 1)]
+                        head.append(jnp.where(gl < nb, vl, qi[j : j + 1]))
+                        gh = qoff + WQ - e + j
+                        vh = fhi_refs[3 + k][
+                            pl.ds(jnp.clip(gh - (nx - nb), 0, nb - 1), 1)
+                        ]
+                        tail.append(
+                            jnp.where(
+                                gh >= nx - nb, vh, qi[WQ - e + j : WQ - e + j + 1]
+                            )
+                        )
+                    qi = jnp.concatenate(head + [qi[e : WQ - e]] + tail, axis=0)
+                sq_int = _clip_pos(s_int_q * qi)
                 xs_q = [sq_int[j : TX + 1 + j] for j in range(2 * e)]
                 div_q = _div_from_views(
                     order, dx, dy, nb, ny, uf_t, vf_t, xs_q,
@@ -434,7 +613,21 @@ def fused_si_stage(
                     sq_res = jnp.where(yframe, sq_now, sq_res)
                 q_raw = _clip_pos(sq_res / s_e_t)
                 q_enf = enforce_yband(q_raw, g_t, qyb_refs[k][:])
-                out_refs[3 + k][0:TX] = jnp.where(band_t, q_raw, q_enf)
+                q_out_t = jnp.where(band_t, q_raw, q_enf)
+                if band_ik:
+                    qr_ref = qrb_refs[k]
+                    q_out_t = edge_select(
+                        q_out_t,
+                        lambda: _enforce_relaxed(
+                            q_raw[0:BW], g_t[0:BW], qr_ref[0:BW]
+                        ),
+                        lambda: _enforce_relaxed(
+                            q_raw[TX - BW : TX],
+                            g_t[TX - BW : TX],
+                            qr_ref[BW : 2 * BW],
+                        ),
+                    )
+                out_refs[3 + k][0:TX] = q_out_t
 
         # --- staggered velocities from the FINAL fields --------------------- #
         # (``dwarfs/diagnostics.py get_velocity_components``; faces touching
@@ -497,6 +690,19 @@ def fused_si_stage(
 
     su_yb, sv_yb = yband(su_ref), yband(sv_ref)
     q_ybs = tuple(yband(q) for q in q_refs)
+
+    # full-row reference values at the 2*BW band columns (band_ik only)
+    def bandcols(a):
+        return jnp.concatenate([a[nb:nr], a[nx - nr : nx - nb]], axis=0)
+
+    band_args = (
+        (bandcols(su_ref), bandcols(sv_ref)) + tuple(bandcols(q) for q in q_refs)
+        if band_ik
+        else ()
+    )
+    frame_args = (
+        tuple(frame_lo) + tuple(frame_hi) if overlay_eff else ()
+    )
     su_top = su_ref[..., :dd_eff]
     sv_top = sv_ref[..., :dd_eff]
     rm_top = (rmat if do_damp else jnp.zeros((1, nz), dtype))[:, :dd_eff]
@@ -530,6 +736,18 @@ def fused_si_stage(
             + [yband_spec, yband_spec]
             + [qyb_spec] * nq
             + [top_spec, top_spec, whole]
+            # grid-invariant constants as BLOCKED specs with a constant index
+            # map: the pipeline's block-revisiting check skips their DMA
+            # after the first iteration (an unblocked VMEM mapping re-fetched
+            # them every grid step — measured -7% end-to-end, r5)
+            + [
+                pl.BlockSpec(
+                    tuple(pl.Element(d) for d in a.shape),
+                    lambda ix, nd=a.ndim: (0,) * nd,
+                    memory_space=pltpu.VMEM,
+                )
+                for a in band_args + frame_args
+            ]
         ),
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -544,7 +762,7 @@ def fused_si_stage(
         *(() if derive_velocities else (u, v)),
         s_now, s_int, *q_now, *q_int, su_now, sv_now, su_int, sv_int,
         mtg_now, hs3, theta, g3, s_ref, su_yb, sv_yb, *q_ybs,
-        su_top, sv_top, rm_top,
+        su_top, sv_top, rm_top, *band_args, *frame_args,
     )
     s_o, su_o, sv_o = outs[0], outs[1], outs[2]
     q_o = list(outs[3 : 3 + nq])
@@ -555,6 +773,12 @@ def fused_si_stage(
         # argument (part of the jit cache key) — the caller reads the
         # TASMANIA_SKIP_XBAND env at ITS trace time (ADVICE r4: an env read
         # inside this jitted body was ignored on cache hits).
+        return tuple([s_o, su_o, sv_o] + q_o)
+
+    if not finish_eff:
+        # frame-pipeline intermediate stage: the band columns are final
+        # (band_ik) but the nb-wide x-frame columns are UNWRITTEN — only the
+        # next stage's overlaying kernel may consume these arrays
         return tuple([s_o, su_o, sv_o] + q_o)
 
     # ------------- finish the x-band and x-frame columns in XLA ------------ #
@@ -577,13 +801,12 @@ def fused_si_stage(
         return [s_f, su_f, sv_f] + q_f
 
     def frame_vals(sl):
-        """x-frame columns, composed from "now" values."""
-        gsl = gamma[sl][:, :, None]
-        s_e_sl = _enforce_relaxed(s_now[sl], gsl, s_ref[sl])
-        q_raw = [
-            _clip_pos(_clip_pos(s_now[sl] * qn[sl]) / s_e_sl) for qn in q_now
-        ]
-        return full_epilogue(sl, s_e_sl, su_now[sl], sv_now[sl], q_raw)
+        """x-frame columns, composed from "now" values (the shared helper
+        keeps the caller-side pipeline strips bitwise identical)."""
+        return compute_frame_strips(
+            sl, s_now, su_now, sv_now, q_now, gamma, s_ref, su_ref, sv_ref,
+            q_refs, rmat, dtf, do_damp,
+        )
 
     def band_vals(sl):
         """x-band columns: kernel wrote raw updates (s already enforced
@@ -624,12 +847,14 @@ def fused_si_stage(
 
     lo_f = frame_vals(slice(0, nb))
     hi_f = frame_vals(slice(nx - nb, nx))
-    if nr > nb:
+    if nr > nb and not band_ik:
         lo_b = band_vals(slice(nb, nr))
         hi_b = band_vals(slice(nx - nr, nx - nb))
         lo = [jnp.concatenate([f, b], axis=0) for f, b in zip(lo_f, lo_b)]
         hi = [jnp.concatenate([b, f], axis=0) for f, b in zip(hi_f, hi_b)]
     else:
+        # band_ik: the kernel's first/last tile finished the band columns
+        # in-VMEM — only the nb-wide keep-now frame remains
         lo, hi = lo_f, hi_f
     arrs = list(
         paste_x_edges_multi(

@@ -287,3 +287,221 @@ def fused_smagorinsky_rk2(
     kw = dict(dx=dx, dy=dy, cs=cs, nb=nb, tile_x=tile_x, interpret=interpret)
     su1, sv1 = _smag_stage(s, su, sv, su, sv, c=0.5 * dt, **kw)
     return _smag_stage(s, su1, sv1, su, sv, c=dt, **kw)
+
+
+# ------------------------------------------------------------------------------ #
+# merged Shapiro smoothing + Smagorinsky RK2 (r5)                                #
+# ------------------------------------------------------------------------------ #
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "order", "nb", "dx", "dy", "cs", "dt", "tile_x", "interpret"
+    ),
+)
+def fused_smoothing_smagorinsky_rk2(
+    fields,
+    gamma,
+    *,
+    order: int,
+    nb: int,
+    dx: float,
+    dy: float,
+    cs: float,
+    dt: float,
+    tile_x: int = 16,
+    interpret: bool = False,
+):
+    """ONE kernel for the adjacent SUS processes ``IsentropicHorizontalSmoothing
+    -> IsentropicSmagorinsky(rk2)`` (reference chain order
+    ``drivers/.../driver_namelist_sus.py:183-471``): per x-tile, Shapiro-smooth
+    all F fields in VMEM, then run BOTH Smagorinsky RK2 stages on the smoothed
+    (s, su, sv) — the smoothed momenta (consumed only by the Smagorinsky
+    update) never round-trip HBM, and neither do the stage-1 intermediates.
+    Saves vs the two-kernel sequence: 2 writes + 3 reads of (nx, ny, nz)
+    arrays and one kernel launch (~5 sweeps, BENCH_NOTES r5_smooth_smag).
+
+    Args:
+      fields: (s, su, sv[, q...]) raw state arrays, F = len(fields) >= 3.
+      gamma: (F, nz) per-field smoothing coefficient (``fused_smoothing``).
+
+    Returns:
+      (s_smoothed, su_rk2, sv_rk2, *q_smoothed): bitwise the values of
+      ``fused_smoothing`` followed by ``_smag_rk2_fused`` (same expression
+      trees; pinned by tests/test_pallas_ops.py).
+    """
+    from jax import lax
+
+    from tasmania_tpu.ops.smoothing_step import _CW_2D, _WEIGHTS
+
+    fields = tuple(fields)
+    F = len(fields)
+    assert F >= 3
+    nq = F - 3
+    nx, ny, nz = fields[0].shape
+    n = order
+    H = 2                     # smag ring halo per stage
+    assert nb >= n and nb >= H
+    NXI = nx - 2 * nb
+    TX = _pick_tile(NXI, min(tile_x, nx - 4 * H - 2 * n))
+    assert TX >= 1, "grid too small for the merged smoothing+smag kernel"
+    grid = (pl.cdiv(NXI, TX),)
+    W1 = TX + 2 * H           # smag stage-1 columns   [t0-2, t0+TX+2)
+    WS = W1 + 2 * H           # smoothed-momenta cols  [t0-4, t0+TX+4)
+    WIN = WS + 2 * n          # raw input windows      [t0-4-n, ...), clamped
+    PAD = max(1, 2 * H + n - nb)
+    WQ = TX + 2 * n           # q windows (never clamp: n <= nb)
+    cw = _CW_2D[order]
+    weights = _WEIGHTS[order]
+    jin = slice(nb, ny - nb)
+    c1, c2 = 0.5 * dt, dt
+    dtype = fields[0].dtype
+
+    def kernel(*refs):
+        g_ref = refs[0]
+        s_ref, su_ref, sv_ref = refs[1:4]
+        q_refs = refs[4 : 4 + nq]
+        out_refs = refs[4 + nq : 4 + nq + 3 + nq]
+        spad, supad, svpad = refs[4 + nq + 3 + nq :]
+
+        pid = pl.program_id(0)
+        t0 = nb + jnp.minimum(pid * TX, NXI - TX)
+        nom = t0 - 2 * H - n
+        delta = nom - jnp.clip(nom, 0, nx - WIN)
+
+        def fill(pad, ref):
+            pad[PAD : PAD + WIN] = ref[:]
+            for p in range(PAD):
+                pad[p : p + 1] = ref[0:1]
+                pad[WIN + PAD + p : WIN + PAD + p + 1] = ref[WIN - 1 : WIN]
+
+        fill(spad, s_ref)
+        fill(supad, su_ref)
+        fill(svpad, sv_ref)
+
+        def smooth_window(pad, g, base_off, M):
+            """Shapiro-smooth M columns whose nominal window offset is
+            ``base_off`` (in units of the WIN fetch); global x-frame columns
+            keep the raw value (``fused_smoothing`` writes interior only)."""
+            center = pad[pl.ds(PAD + delta + base_off, M)]
+            acc = (1.0 - cw * g) * center[:, jin]
+            for off, wt in weights:
+                acc = acc + wt * g * pad[pl.ds(PAD + delta + base_off + off, M)][:, jin]
+            for off, wt in weights:
+                acc = acc + wt * g * center[:, nb + off : ny - nb + off]
+            sm = jnp.concatenate(
+                [center[:, :nb], acc, center[:, ny - nb :]], axis=1
+            )
+            r = lax.broadcasted_iota(jnp.int32, (M, 1, 1), 0)
+            xg = t0 - (2 * H + n) + base_off + r
+            frame = (xg < nb) | (xg >= nx - nb)
+            return jnp.where(frame, center, sm)
+
+        gs = g_ref[0][None, None, :]
+        gsu = g_ref[1][None, None, :]
+        gsv = g_ref[2][None, None, :]
+        s_sm = smooth_window(spad, gs, n, WS)       # cols [t0-4, t0+TX+4)
+        su_sm = smooth_window(supad, gsu, n, WS)
+        sv_sm = smooth_window(svpad, gsv, n, WS)
+
+        out_refs[0][0:TX] = s_sm[2 * H : 2 * H + TX]
+
+        # --- Smagorinsky RK2 on the smoothed fields (``_smag_rk2_fused``) -- #
+        u0 = su_sm / s_sm
+        v0 = sv_sm / s_sm
+        ut1, vt1 = _smag_tendency(u0, v0, dx, dy, cs, W1, ny)
+        yo = slice(nb - 2, ny - nb - 2)
+        s_1 = s_sm[H : H + W1]
+        sub_1 = su_sm[H : H + W1]
+        svb_1 = sv_sm[H : H + W1]
+        su1 = jnp.concatenate(
+            [
+                sub_1[:, :nb],
+                sub_1[:, jin] + c1 * s_1[:, jin] * ut1[:, yo],
+                sub_1[:, ny - nb :],
+            ],
+            axis=1,
+        )
+        sv1 = jnp.concatenate(
+            [
+                svb_1[:, :nb],
+                svb_1[:, jin] + c1 * s_1[:, jin] * vt1[:, yo],
+                svb_1[:, ny - nb :],
+            ],
+            axis=1,
+        )
+        r1 = lax.broadcasted_iota(jnp.int32, (W1, 1, 1), 0)
+        xg1 = t0 - H + r1
+        frame1 = (xg1 < nb) | (xg1 >= nx - nb)
+        su1 = jnp.where(frame1, sub_1, su1)
+        sv1 = jnp.where(frame1, svb_1, sv1)
+
+        u1 = su1 / s_1
+        v1 = sv1 / s_1
+        ut2, vt2 = _smag_tendency(u1, v1, dx, dy, cs, TX, ny)
+        s_t = s_sm[2 * H : 2 * H + TX]
+        sub_t = su_sm[2 * H : 2 * H + TX]
+        svb_t = sv_sm[2 * H : 2 * H + TX]
+        out_refs[1][0:TX, jin] = sub_t[:, jin] + c2 * s_t[:, jin] * ut2[:, yo]
+        out_refs[2][0:TX, jin] = svb_t[:, jin] + c2 * s_t[:, jin] * vt2[:, yo]
+        out_refs[1][0:TX, 0:nb] = sub_t[:, 0:nb]
+        out_refs[1][0:TX, ny - nb : ny] = sub_t[:, ny - nb : ny]
+        out_refs[2][0:TX, 0:nb] = svb_t[:, 0:nb]
+        out_refs[2][0:TX, ny - nb : ny] = svb_t[:, ny - nb : ny]
+
+        # --- moist fields: smoothing only, on the tile ---------------------- #
+        for k in range(nq):
+            w = q_refs[k][:]              # (TX+2n, ny, nz)
+            g = g_ref[3 + k][None, None, :]
+            center = w[n : n + TX]
+            acc = (1.0 - cw * g) * center[:, jin]
+            for off, wt in weights:
+                acc = acc + wt * g * w[n + off : n + TX + off, jin]
+            for off, wt in weights:
+                acc = acc + wt * g * center[:, nb + off : ny - nb + off]
+            out_refs[3 + k][0:TX, jin] = acc
+            out_refs[3 + k][0:TX, 0:nb] = center[:, 0:nb]
+            out_refs[3 + k][0:TX, ny - nb : ny] = center[:, ny - nb : ny]
+
+    in_spec = pl.BlockSpec(
+        (pl.Element(WIN), pl.Element(ny), pl.Element(nz)),
+        lambda ix: (
+            jnp.clip(
+                nb - 2 * H - n + jnp.minimum(ix * TX, NXI - TX), 0, nx - WIN
+            ),
+            0,
+            0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    q_spec = pl.BlockSpec(
+        (pl.Element(WQ), pl.Element(ny), pl.Element(nz)),
+        lambda ix: (nb - n + _clamp_start(ix, TX, NXI), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (pl.Element(TX), pl.Element(ny), pl.Element(nz)),
+        lambda ix: (nb + _clamp_start(ix, TX, NXI), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [in_spec] * 3
+        + [q_spec] * nq,
+        out_specs=[out_spec] * (3 + nq),
+        out_shape=[jax.ShapeDtypeStruct((nx, ny, nz), dtype)] * (3 + nq),
+        scratch_shapes=[pltpu.VMEM((WIN + 2 * PAD, ny, nz), dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(gamma, *fields)
+    from tasmania_tpu.ops.paste import paste_x_edges_multi
+
+    return paste_x_edges_multi(
+        outs,
+        [phi[:nb] for phi in fields],
+        [phi[nx - nb :] for phi in fields],
+        interpret=interpret,
+    )

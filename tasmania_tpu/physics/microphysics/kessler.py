@@ -346,10 +346,19 @@ class KesslerSedimentation(ImplicitTendencyComponent):
         grid_type: str = "numerical",
         sedimentation_flux_scheme: str = "first_order_upwind",
         maximum_vertical_cfl: float = 0.975,
+        vt_mode: str = "stage",
         **kwargs,
     ) -> None:
+        """``vt_mode`` steers the FUSED RK3WS chain only ("stage" default =
+        the reference's per-stage fall-velocity evaluation
+        (``kessler.py:1198``); "step" freezes the stage-1 ``qr^0.1346`` power
+        for the whole RK step — the kernel's dominant compute cost, see
+        ``ops/sedimentation_step``; golden umax/vmax unchanged at all printed
+        digits, error budget in BENCH_NOTES r5_sed_vt_step)."""
         super().__init__(domain, grid_type, **kwargs)
         self._sflux = SedimentationFlux.factory(sedimentation_flux_scheme, self.backend)
+        assert vt_mode in ("stage", "step")
+        self.vt_mode = vt_mode
 
     @property
     def input_properties(self):
@@ -420,7 +429,11 @@ def _sedimentation_chain_fuser(components, state, dt, output_properties):
         raw[mfpw],
         order=sed._sflux.nb,
         dt=float(dt),
-        vt_mode=os.environ.get("TASMANIA_SED_VT", "stage"),
+        # component option; TASMANIA_SED_VT overrides for tuning probes
+        # (trace-time read — one variant per process)
+        vt_mode=os.environ.get(
+            "TASMANIA_SED_VT", getattr(sed, "vt_mode", "stage")
+        ),
         interpret=sed.backend == "pallas:interpret",
     )
     out = {mfpw: FieldArray(q_out, output_properties[mfpw]["units"], DIMS)}

@@ -295,6 +295,140 @@ def test_fused_sedimentation_chain_matches_generic(scheme):
     )
 
 
+@pytest.mark.parametrize("order", [1, 2])
+def test_fused_sedimentation_vt_step_mode(order):
+    """vt_mode="step" (the flagship namelist's setting, VERDICT r4 next #2)
+    freezes the stage-1 ``qr^0.1346`` fall-velocity power for all three RK3WS
+    stages; oracle = the same frozen-vt algebra in plain numpy slicing."""
+    from tasmania_tpu.ops.sedimentation_step import (
+        _dfdz,
+        _fall_velocity,
+        fused_sedimentation_rk3ws,
+    )
+
+    rng = np.random.default_rng(11)
+    nx, ny, nz = 9, 8, 16
+    rho = jnp.asarray(
+        0.4 + 1.2 * rng.random((nx, ny, nz)), dtype=jnp.float32
+    )
+    h_if = jnp.asarray(
+        np.sort(1e4 * rng.random((nx, ny, nz + 1)), axis=-1)[..., ::-1].copy(),
+        dtype=jnp.float32,
+    )
+    qr = jnp.asarray(1e-3 * rng.random((nx, ny, nz)), dtype=jnp.float32)
+    dt = 7.0
+
+    h = 0.5 * (h_if[..., :-1] + h_if[..., 1:])
+    vt1 = _fall_velocity(rho, qr)
+
+    def tendency(qi):
+        d = _dfdz(order, rho, h, qi, vt1) / rho[..., order:]
+        z = jnp.zeros(d.shape[:-1] + (order,), d.dtype)
+        return jnp.concatenate([z, d], axis=-1)
+
+    q1 = qr + dt / 3.0 * tendency(qr)
+    q2 = qr + dt / 2.0 * tendency(q1)
+    q_ref = qr + dt * tendency(q2)
+
+    q_out, vt_out = fused_sedimentation_rk3ws(
+        rho, h_if, qr, order=order, dt=dt, vt_mode="step", interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(q_out), np.asarray(q_ref), rtol=2e-5, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(vt_out), np.asarray(vt1), rtol=1e-6, atol=1e-10
+    )
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_fused_smoothing_smagorinsky_matches_sequence(order):
+    """The merged [smoothing -> Smagorinsky rk2] kernel (r5) must reproduce
+    the two-kernel sequence bitwise: same smoothing expression tree, same
+    RK2 ring algebra on the smoothed fields."""
+    from tasmania_tpu.ops.smagorinsky_step import (
+        fused_smagorinsky_rk2,
+        fused_smoothing_smagorinsky_rk2,
+    )
+    from tasmania_tpu.ops.smoothing_step import fused_smoothing
+
+    rng = np.random.default_rng(3)
+    nx, ny, nz = 33, 21, 8  # nx >= TX + 8: the single-kernel smag RK2 path
+    nb = 3
+    fields = tuple(
+        jnp.asarray(1.0 + 0.1 * rng.standard_normal((nx, ny, nz)),
+                    dtype=jnp.float32)
+        for _ in range(6)
+    )
+    gamma = jnp.asarray(
+        0.2 + 0.5 * rng.random((6, nz)), dtype=jnp.float32
+    )
+    dx = dy = 1000.0
+    cs = 0.18
+    dt = 9.0
+
+    sm = fused_smoothing(fields, gamma, order=order, nb=nb, tile_x=16,
+                         interpret=True)
+    su2, sv2 = fused_smagorinsky_rk2(
+        sm[0], sm[1], sm[2], dx=dx, dy=dy, cs=cs, nb=nb, dt=dt, tile_x=16,
+        interpret=True,
+    )
+    ref = [sm[0], su2, sv2, sm[3], sm[4], sm[5]]
+
+    outs = fused_smoothing_smagorinsky_rk2(
+        fields, gamma, order=order, nb=nb, dx=dx, dy=dy, cs=cs, dt=dt,
+        tile_x=16, interpret=True,
+    )
+    for nm, a, b in zip("s su sv qv qc qr".split(), ref, outs):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=nm
+        )
+
+
+def test_smooth_smag_pair_fuser_in_sus_chain():
+    """The SUS process-pair [IsentropicHorizontalSmoothing ->
+    Smagorinsky(rk2)] must fuse (plan picks the pair) and reproduce the
+    unfused chain exactly."""
+    import os
+
+    from tasmania_tpu.framework.options import TimeIntegrationOptions
+    from tasmania_tpu.framework.splitting import SequentialUpdateSplitting
+    from tasmania_tpu.isentropic.physics.horizontal_smoothing import (
+        IsentropicHorizontalSmoothing,
+    )
+    from tasmania_tpu.isentropic.physics.turbulence import IsentropicSmagorinsky
+
+    domain, state = _small_moist_setup()
+
+    def run(fuse):
+        sm = IsentropicHorizontalSmoothing(
+            domain, "second_order", smooth_coeff=0.2, smooth_coeff_max=0.5,
+            smooth_damp_depth=5, moist=True, smooth_moist_coeff=0.1,
+            backend="pallas:interpret",
+        )
+        sg = IsentropicSmagorinsky(
+            domain, smagorinsky_constant=0.18, backend="pallas:interpret"
+        )
+        sus = SequentialUpdateSplitting(
+            TimeIntegrationOptions(component=sm),
+            TimeIntegrationOptions(component=sg, scheme="rk2"),
+        )
+        os.environ["TASMANIA_FUSE_PAIRS"] = "1" if fuse else "0"
+        os.environ["TASMANIA_FUSE_SMOOTH_SMAG"] = "1" if fuse else "0"
+        try:
+            out = sus(dict(state), 10.0)
+        finally:
+            os.environ.pop("TASMANIA_FUSE_PAIRS", None)
+            os.environ.pop("TASMANIA_FUSE_SMOOTH_SMAG", None)
+        return {k: np.asarray(v.data) for k, v in out.items() if k != "time"}
+
+    a = run(False)
+    b = run(True)
+    assert set(a) == set(b)
+    for k in sorted(a):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_fused_smagorinsky_rk2_matches_generic():
     from tasmania_tpu.framework.steppers import TendencyStepper
     from tasmania_tpu.isentropic.physics import IsentropicSmagorinsky

@@ -190,3 +190,72 @@ def test_derive_velocities_chain_bitwise(rng):
     assert set(a) == set(b)
     for name in sorted(a):
         np.testing.assert_array_equal(a[name], b[name], err_msg=name)
+
+
+@pytest.mark.parametrize("nx", [25, 33])
+def test_pipeline_chain_bitwise_geometries(nx, rng):
+    """The r5 frame pipeline (band_ik + overlay + deferred paste) vs the
+    paste-every-stage chain, BITWISE through the real 3-stage dycore step.
+
+    nx=25 pins the r5 NaN regression: with TX=16 the INTERIOR tile's stencil
+    window reaches the left frame columns (NXI - TX < window reach), so the
+    overlay must be global-coordinate, not first/last-tile conditioned.
+    nx=33 covers the clean multi-tile case.  (The nx=19 build() geometry has
+    NXI - TX < BW, which disables band_ik entirely — pipeline off.)"""
+    from datetime import datetime
+
+    import jax.numpy as jnp
+
+    from tasmania_tpu.domain import Domain
+    from tasmania_tpu.framework.field import FieldArray
+    from tasmania_tpu.isentropic.dynamics.dycore import IsentropicDynamicalCore
+    from tasmania_tpu.isentropic.state import (
+        get_isentropic_state_from_brunt_vaisala_frequency,
+    )
+
+    domain = Domain(
+        (0.0, 1e5), nx, (0.0, 1e5), 25,
+        FieldArray(np.array([400.0, 300.0]), "K", ("z",)), 8,
+        horizontal_boundary_type="relaxed", nb=3,
+        horizontal_boundary_kwargs={"nr": 6},
+        topography_type="gaussian",
+        topography_kwargs={
+            "max_height": FieldArray(np.asarray(200.0), "m", ()),
+            "width_x": FieldArray(np.asarray(2e4), "m", ()),
+            "width_y": FieldArray(np.asarray(2e4), "m", ()),
+        },
+        backend="pallas:interpret",
+    )
+    state = get_isentropic_state_from_brunt_vaisala_frequency(
+        domain.numerical_grid, datetime(2000, 1, 1),
+        FieldArray(np.asarray(8.0), "m s^-1", ()),
+        FieldArray(np.asarray(2.0), "m s^-1", ()),
+        FieldArray(np.asarray(0.01), "s^-1", ()),
+        moist=True, backend="pallas:interpret",
+    )
+    domain.horizontal_boundary.reference_state = state
+    core = IsentropicDynamicalCore(
+        domain, moist=True, backend="pallas:interpret",
+        damp=True, damp_type="rayleigh", damp_depth=3,
+        damp_max=0.0002, damp_at_every_stage=False,
+        time_integration_scheme="rk3ws_si",
+        horizontal_flux_scheme="fifth_order_upwind",
+    )
+    names = sorted(k for k in state if k != "time")
+
+    def run(pipeline):
+        os.environ["TASMANIA_FUSE_STAGE"] = "2"
+        os.environ["TASMANIA_FRAME_PIPELINE"] = "1" if pipeline else "0"
+        try:
+            out = core(dict(state), {}, 10.0)
+        finally:
+            os.environ["TASMANIA_FUSE_STAGE"] = "1"
+            del os.environ["TASMANIA_FRAME_PIPELINE"]
+        return {k: np.asarray(out[k].data) for k in names if k in out}
+
+    a = run(False)
+    b = run(True)
+    assert set(a) == set(b)
+    for name in sorted(a):
+        assert np.isfinite(a[name]).all(), f"non-finite reference: {name}"
+        np.testing.assert_array_equal(a[name], b[name], err_msg=name)
