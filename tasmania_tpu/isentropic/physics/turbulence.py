@@ -107,7 +107,9 @@ def _smooth_smag_pair_matches(comp_a, stepper_b) -> bool:
         IsentropicHorizontalSmoothing,
     )
 
-    if os.environ.get("TASMANIA_FUSE_SMOOTH_SMAG", "1") != "1":
+    # default OFF: measured ~-0.3% on chip vs the two-kernel pair
+    # (BENCH_NOTES r5_smooth_smag) - available as an opt-in experiment
+    if os.environ.get("TASMANIA_FUSE_SMOOTH_SMAG", "0") != "1":
         return False
     if not isinstance(comp_a, IsentropicHorizontalSmoothing):
         return False
@@ -174,8 +176,9 @@ def _smooth_smag_pair_fuser(comp_a, stepper_b, state, td):
         dy=dy,
         cs=smag._cs,
         dt=float(td.total_seconds()),
-        # trace-time tuning knob (one variant per process)
-        tile_x=int(os.environ.get("TASMANIA_TILE_X_SMSM", "16")),
+        # trace-time tuning knob (one variant per process); 24 on-chip tuned
+        # (16: 6.824e8, 24: 6.882e8, 32: VMEM OOM — BENCH_NOTES r5_smooth_smag)
+        tile_x=int(os.environ.get("TASMANIA_TILE_X_SMSM", "24")),
         interpret=comp_a.backend == "pallas:interpret",
     )
     dprops = comp_a.diagnostic_properties

@@ -403,19 +403,28 @@ def fused_si_stage(
         s_e_wm = _enforce_relaxed(s_res, g_ref[:], sref_ref[:])
 
         # --- Montgomery of the enforced density (MXU scans) --------------- #
-        hs_w = hs_ref[:]                   # (Wm, ny, 1)
-        theta_s = th_ref[0, nz]
-        p_rest = _scan_matmul(g * dz * s_e_wm, _tri(nz, dtype, lower_incl=True))
-        p = jnp.concatenate(
-            [jnp.full_like(s_e_wm[..., :1], pt), pt + p_rest], axis=-1
-        )
-        exn = cp * (p / pref) ** (rd / cp)
-        mtg_s = theta_s * exn[..., nz : nz + 1] + g * hs_w
-        base = mtg_s + 0.5 * dz * exn[..., nz : nz + 1]
-        rsum = _scan_matmul(
-            dz * exn[..., 1:nz], _tri(nz - 1, dtype, lower_incl=False)
-        )
-        mtg_wm = jnp.concatenate([base + rsum, base], axis=-1)
+        if os.environ.get("TASMANIA_SKIP_MTG") == "1":
+            # TIMING-ONLY probe (wrong values): attribute the in-kernel
+            # Montgomery recompute (two MXU triangular contractions at
+            # HIGHEST precision + the Exner power) — trace-time env read,
+            # one variant per process
+            mtg_wm = mn_ref[:]
+        else:
+            hs_w = hs_ref[:]                   # (Wm, ny, 1)
+            theta_s = th_ref[0, nz]
+            p_rest = _scan_matmul(
+                g * dz * s_e_wm, _tri(nz, dtype, lower_incl=True)
+            )
+            p = jnp.concatenate(
+                [jnp.full_like(s_e_wm[..., :1], pt), pt + p_rest], axis=-1
+            )
+            exn = cp * (p / pref) ** (rd / cp)
+            mtg_s = theta_s * exn[..., nz : nz + 1] + g * hs_w
+            base = mtg_s + 0.5 * dz * exn[..., nz : nz + 1]
+            rsum = _scan_matmul(
+                dz * exn[..., 1:nz], _tri(nz - 1, dtype, lower_incl=False)
+            )
+            mtg_wm = jnp.concatenate([base + rsum, base], axis=-1)
 
         # --- window views --------------------------------------------------- #
         cwp = slice(1, 1 + Wp)          # Wp cells within the Wm window

@@ -448,3 +448,112 @@ def _register_sedimentation_fuser() -> None:
 
 
 _register_sedimentation_fuser()
+
+
+# ------------------------------------------------------------------------------ #
+# SUS process-pair fuser: [vertical advection rk3ws -> sedimentation rk3ws] (r5) #
+# ------------------------------------------------------------------------------ #
+
+
+def _vadv_sed_pair_matches(stepper_a, stepper_b) -> bool:
+    import os
+
+    # default OFF: measured ~-1.4% on chip vs the two-kernel pair
+    # (BENCH_NOTES r5_vadv_sed) - available as an opt-in experiment
+    if os.environ.get("TASMANIA_FUSE_VADV_SED", "0") != "1":
+        return False
+    if os.environ.get("TASMANIA_VADV_IMPL", "pallas") != "pallas":
+        return False
+    if (
+        getattr(stepper_a, "name", "") != "rk3ws"
+        or getattr(stepper_b, "name", "") != "rk3ws"
+        or getattr(stepper_a, "_enforce_hb", True)
+        or getattr(stepper_b, "_enforce_hb", True)
+    ):
+        return False
+    comps_a = getattr(getattr(stepper_a, "_coupling", None), "components", ())
+    if len(comps_a) != 1:
+        return False
+    from tasmania_tpu.isentropic.physics.vertical_advection import (
+        IsentropicVerticalAdvection,
+    )
+
+    va = comps_a[0]
+    if not isinstance(va, IsentropicVerticalAdvection):
+        return False
+    if va._stgz or not va._moist or not va.backend.startswith("pallas"):
+        return False
+    comps_b = getattr(getattr(stepper_b, "_coupling", None), "components", ())
+    return _sedimentation_chain_matches(comps_b, "rk3ws")
+
+
+def _vadv_sed_pair_fuser(stepper_a, stepper_b, state, td):
+    """ONE kernel for [vertical advection -> fall velocity + sedimentation]
+    (both column-local RK3WS): the advected qr never round-trips HBM
+    (``ops/vertical_advection_step.fused_vadv_sedimentation_rk3ws``)."""
+    import os
+
+    import numpy as np
+
+    from tasmania_tpu.framework.field import FieldArray, get_array_dict
+    from tasmania_tpu.ops.vertical_advection_step import (
+        fused_vadv_sedimentation_rk3ws,
+    )
+
+    va = stepper_a._coupling.components[0]
+    _, sed = stepper_b._coupling.components
+    raw = get_array_dict(state, va.input_properties)
+    raw_b = get_array_dict(
+        state,
+        {
+            "air_density": {"dims": DIMS, "units": "kg m^-3"},
+            "height_on_interface_levels": {
+                "dims": ("x", "y", "z_on_interface_levels"), "units": "m"
+            },
+        },
+    )
+    dz = float(np.asarray(va.grid.dz.to_units("K").data))
+    outs = fused_vadv_sedimentation_rk3ws(
+        raw["tendency_of_air_potential_temperature"],
+        raw["air_isentropic_density"],
+        raw["x_momentum_isentropic"],
+        raw["y_momentum_isentropic"],
+        raw[mfwv],
+        raw[mfcw],
+        raw[mfpw],
+        raw_b["air_density"],
+        raw_b["height_on_interface_levels"],
+        vorder=va._vflux.order,
+        sorder=sed._sflux.nb,
+        dt=float(td.total_seconds()),
+        dz=dz,
+        vt_mode=os.environ.get(
+            "TASMANIA_SED_VT", getattr(sed, "vt_mode", "stage")
+        ),
+        interpret=va.backend == "pallas:interpret",
+    )
+    aprops = stepper_a.output_properties
+    bprops = stepper_b.output_properties
+    names_a = [
+        "air_isentropic_density",
+        "x_momentum_isentropic",
+        "y_momentum_isentropic",
+        mfwv,
+        mfcw,
+    ]
+    stepped = {
+        nm: FieldArray(outs[i], aprops[nm]["units"], DIMS)
+        for i, nm in enumerate(names_a)
+    }
+    stepped[mfpw] = FieldArray(outs[5], bprops[mfpw]["units"], DIMS)
+    diags = {"raindrop_fall_velocity": FieldArray(outs[6], "m s^-1", DIMS)}
+    return diags, stepped
+
+
+def _register_vadv_sed_pair_fuser() -> None:
+    from tasmania_tpu.framework.splitting import register_process_pair_fuser
+
+    register_process_pair_fuser(_vadv_sed_pair_matches, _vadv_sed_pair_fuser)
+
+
+_register_vadv_sed_pair_fuser()

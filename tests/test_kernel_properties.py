@@ -286,3 +286,124 @@ def test_smoothing_kernel_drawn_shapes(shape, nb, order, seed):
     for f, o in zip(fields, out):
         ref = np.asarray(sm(f))
         np.testing.assert_allclose(np.asarray(o), ref, atol=1e-13)
+
+
+@given(
+    shape=st.tuples(
+        st.integers(17, 41), st.integers(15, 33), st.integers(4, 10)
+    ),
+    order=st.integers(1, 3),
+    tile_x=st.sampled_from([8, 16, 24]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@hyp
+def test_smoothing_smagorinsky_merged_drawn_shapes(shape, order, tile_x, seed):
+    """Property 7 (r5): the merged [smoothing -> Smagorinsky rk2] kernel vs
+    the two-kernel sequence at drawn shapes/orders/tiles (bitwise: identical
+    expression trees)."""
+    from tasmania_tpu.ops.smagorinsky_step import (
+        fused_smagorinsky_rk2,
+        fused_smoothing_smagorinsky_rk2,
+    )
+    from tasmania_tpu.ops.smoothing_step import fused_smoothing
+
+    nx, ny, nz = shape
+    nb = 3
+    if nb < max(order, 2) or nx < 2 * nb + 3 or ny < 2 * nb + 3:
+        return
+    if nx < 8 + 2 * order + 5:
+        return
+    rng = np.random.default_rng(seed)
+    fields = tuple(
+        jnp.asarray(
+            1.0 + 0.1 * rng.standard_normal((nx, ny, nz)), dtype=jnp.float32
+        )
+        for _ in range(6)
+    )
+    gamma = jnp.asarray(0.2 + 0.5 * rng.random((6, nz)), dtype=jnp.float32)
+    dx = dy = 1500.0
+    cs = 0.18
+    dt = 9.0
+    sm = fused_smoothing(fields, gamma, order=order, nb=nb, tile_x=tile_x,
+                         interpret=True)
+    su2, sv2 = fused_smagorinsky_rk2(
+        sm[0], sm[1], sm[2], dx=dx, dy=dy, cs=cs, nb=nb, dt=dt,
+        tile_x=tile_x, interpret=True,
+    )
+    ref = [sm[0], su2, sv2, sm[3], sm[4], sm[5]]
+    outs = fused_smoothing_smagorinsky_rk2(
+        fields, gamma, order=order, nb=nb, dx=dx, dy=dy, cs=cs, dt=dt,
+        tile_x=tile_x, interpret=True,
+    )
+    for nm, a, b in zip("s su sv qv qc qr".split(), ref, outs):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7, err_msg=nm
+        )
+
+
+@given(
+    shape=st.tuples(
+        st.integers(9, 33), st.integers(8, 24), st.integers(8, 20)
+    ),
+    vorder=st.integers(1, 3),
+    sorder=st.integers(1, 2),
+    vt_mode=st.sampled_from(["stage", "step"]),
+    tile_x=st.sampled_from([4, 8, 16]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@hyp
+def test_vadv_sed_merged_drawn_shapes(
+    shape, vorder, sorder, vt_mode, tile_x, seed
+):
+    """Property 8 (r5): the merged [vertical advection -> sedimentation]
+    RK3WS kernel vs the two fused kernels applied in sequence, at drawn
+    shapes/orders/modes."""
+    from tasmania_tpu.ops.sedimentation_step import fused_sedimentation_rk3ws
+    from tasmania_tpu.ops.vertical_advection_step import (
+        fused_vadv_sedimentation_rk3ws,
+        fused_vertical_advection_rk3ws,
+    )
+
+    nx, ny, nz = shape
+    if nz < 2 * {1: 1, 2: 1, 3: 2}[vorder] + 2 or nz <= sorder + 1:
+        return
+    rng = np.random.default_rng(seed)
+
+    def f32(scale=1.0, base=0.0, shp=(nx, ny, nz)):
+        return jnp.asarray(
+            base + scale * rng.random(shp), dtype=jnp.float32
+        )
+
+    w = jnp.asarray(
+        1e-2 * rng.standard_normal((nx, ny, nz)), dtype=jnp.float32
+    )
+    s = f32(2.0, 20.0)
+    su = f32(40.0, -20.0)
+    sv = f32(40.0, -20.0)
+    qv, qc, qr = f32(1e-2), f32(1e-3), f32(1e-3)
+    rho = f32(1.0, 0.3)
+    h_if = jnp.asarray(
+        np.sort(1e4 * rng.random((nx, ny, nz + 1)), axis=-1)[..., ::-1].copy(),
+        dtype=jnp.float32,
+    )
+    dt, dz = 6.0, 1.2
+
+    adv = fused_vertical_advection_rk3ws(
+        w, s, su, sv, qv, qc, qr, order=vorder, dt=dt, dz=dz,
+        tile_x=tile_x, interpret=True,
+    )
+    q_ref, vt_ref = fused_sedimentation_rk3ws(
+        rho, h_if, adv[5], order=sorder, dt=dt, tile_x=tile_x,
+        vt_mode=vt_mode, interpret=True,
+    )
+    ref = list(adv[:5]) + [q_ref, vt_ref]
+
+    outs = fused_vadv_sedimentation_rk3ws(
+        w, s, su, sv, qv, qc, qr, rho, h_if,
+        vorder=vorder, sorder=sorder, dt=dt, dz=dz, vt_mode=vt_mode,
+        tile_x=tile_x, interpret=True,
+    )
+    for nm, a, b in zip("s su sv qv qc qr vt".split(), ref, outs):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-9, err_msg=nm
+        )

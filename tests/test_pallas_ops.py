@@ -429,6 +429,88 @@ def test_smooth_smag_pair_fuser_in_sus_chain():
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+def test_vadv_sed_pair_fuser_in_sus_chain():
+    """The SUS process-pair [IsentropicVerticalAdvection(rk3ws) ->
+    [FallVelocity -> Sedimentation](rk3ws)] must fuse into one kernel and
+    reproduce the unfused chain exactly."""
+    import os
+
+    from tasmania_tpu.framework.concurrent_coupling import ConcurrentCoupling
+    from tasmania_tpu.framework.options import TimeIntegrationOptions
+    from tasmania_tpu.framework.splitting import SequentialUpdateSplitting
+    from tasmania_tpu.isentropic.dynamics.diagnostics import IsentropicDiagnostics
+    from tasmania_tpu.isentropic.physics.vertical_advection import (
+        IsentropicVerticalAdvection,
+    )
+    from tasmania_tpu.physics import KesslerFallVelocity, KesslerSedimentation
+
+    domain, state = _small_moist_setup()
+    grid = domain.numerical_grid
+    dd = IsentropicDiagnostics(grid, backend="jax")
+    from tasmania_tpu.framework.field import FieldArray
+
+    s = jnp.asarray(state["air_isentropic_density"].data)
+    p, exn, mtg, h, rho, t = dd.get_diagnostic_variables(s, 2000.0, moist=True)
+    state["air_density"] = FieldArray(rho, "kg m^-3", ("x", "y", "z"))
+    state["height_on_interface_levels"] = FieldArray(
+        h, "m", ("x", "y", "z_on_interface_levels")
+    )
+    rng = np.random.default_rng(9)
+    state["mass_fraction_of_precipitation_water_in_air"] = FieldArray(
+        jnp.asarray(1e-3 * rng.random(rho.shape), dtype=jnp.float32),
+        "g g^-1", ("x", "y", "z"),
+    )
+    state["tendency_of_air_potential_temperature"] = FieldArray(
+        jnp.asarray(1e-3 * rng.standard_normal(rho.shape), dtype=jnp.float32),
+        "K s^-1", ("x", "y", "z"),
+    )
+
+    def run(fuse):
+        va = IsentropicVerticalAdvection(
+            domain, flux_scheme="third_order_upwind", moist=True,
+            tendency_of_air_potential_temperature_on_interface_levels=False,
+            backend="pallas:interpret",
+        )
+        fv = KesslerFallVelocity(domain, "numerical", backend="pallas:interpret")
+        sd = KesslerSedimentation(
+            domain, "numerical",
+            sedimentation_flux_scheme="second_order_upwind",
+            vt_mode="step", backend="pallas:interpret",
+        )
+        sus = SequentialUpdateSplitting(
+            TimeIntegrationOptions(component=va, scheme="rk3ws"),
+            TimeIntegrationOptions(
+                component=ConcurrentCoupling(fv, sd, execution_policy="serial"),
+                scheme="rk3ws",
+            ),
+        )
+        os.environ["TASMANIA_FUSE_PAIRS"] = "1" if fuse else "0"
+        os.environ["TASMANIA_FUSE_VADV_SED"] = "1" if fuse else "0"
+        try:
+            out = sus(dict(state), 8.0)
+        finally:
+            os.environ.pop("TASMANIA_FUSE_PAIRS", None)
+            os.environ.pop("TASMANIA_FUSE_VADV_SED", None)
+        return {k: np.asarray(v.data) for k, v in out.items() if k != "time"}
+
+    a = run(False)
+    b = run(True)
+    assert set(a) == set(b)
+    for k in sorted(a):
+        if k in (
+            "mass_fraction_of_precipitation_water_in_air",
+            "raindrop_fall_velocity",
+        ):
+            # the sedimentation algebra runs on the advected qr as an
+            # in-kernel VALUE: same expression tree, but the different
+            # fusion context licenses different fma contractions (~ulp)
+            np.testing.assert_allclose(
+                a[k], b[k], rtol=1e-5, atol=1e-12, err_msg=k
+            )
+        else:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_fused_smagorinsky_rk2_matches_generic():
     from tasmania_tpu.framework.steppers import TendencyStepper
     from tasmania_tpu.isentropic.physics import IsentropicSmagorinsky
