@@ -70,9 +70,11 @@ from tasmania_tpu.ops.diagnostics_step import _scan_matmul, _tri
 _YB = 8  # y-band strip half-width carried per reference field (>= nr, 8-aligned)
 _P = 2   # scratch pad columns per side (covers window overhang <= 2)
 
-# tuned independently of the two-kernel pair's TX=12 (drivers/tune_tile2.py
-# on chip: 0.675 ms at TX=8/12, 0.659 at 16; TX>=20 exceeds the VMEM budget)
-_STAGE_TILE_X = int(os.environ.get("TASMANIA_TILE_X_STAGE", "16"))
+# on-chip tuned.  r4 (XLA band epilogue): 16 best (0.659 ms vs 0.675 at
+# 8/12; >=20 exceeds VMEM).  r5 (in-kernel band + frame pipeline): 12 best —
+# 7.08e8 vs 6.8-6.9e8 at 16 end-to-end; 20 fails the remote compile
+# (BENCH_NOTES r5_stage_tile_retune).
+_STAGE_TILE_X = int(os.environ.get("TASMANIA_TILE_X_STAGE", "12"))
 
 
 def tile_and_band(nx, order, nb, nr, tile_x, with_velocities=False):
