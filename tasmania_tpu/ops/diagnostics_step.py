@@ -42,16 +42,11 @@ def _scan_matmul(x, m):
     """Contract the last axis of x with the (n, n) scan matrix m (MXU).
     Mosaic wants 2-D dots: collapse the leading dims around the contraction.
 
-    Precision: HIGHEST (6-pass exact f32 on the MXU) by default;
-    ``TASMANIA_MTG_PRECISION=high`` selects the 3-pass bf16x3 form (perf
-    probe; trace-time read, one variant per process)."""
-    import os
-
-    prec = (
-        jax.lax.Precision.HIGH
-        if os.environ.get("TASMANIA_MTG_PRECISION", "highest") == "high"
-        else jax.lax.Precision.HIGHEST
-    )
+    Precision is pinned to HIGHEST (exact f32 on the MXU): Mosaic has no
+    lowering for ``Precision.HIGH`` dots, so a softer setting would crash
+    the in-kernel Montgomery scans of the fused SI stage — and the r5
+    timing probe showed the scans are not a bottleneck anyway
+    (BENCH_NOTES r5_negative_results skip_mtg_probe)."""
     lead = x.shape[:-1]
     x2 = x.reshape((-1, x.shape[-1]))
     y = jax.lax.dot_general(
@@ -59,7 +54,7 @@ def _scan_matmul(x, m):
         m,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=x.dtype,
-        precision=prec,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y.reshape(lead + (m.shape[1],))
 

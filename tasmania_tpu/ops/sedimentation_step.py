@@ -58,6 +58,65 @@ def _dfdz(order: int, rho, h, q, vt):
     return a * rqv[..., 2:] + b * rqv[..., 1:-1] + c * rqv[..., :-2]
 
 
+def _sed_rk3ws_body(rhov, hifv, q0, *, order, dt, vt_mode):
+    """The three-stage RK3WS sedimentation algebra on (..., nz) VALUES —
+    shared verbatim by ``fused_sedimentation_rk3ws`` and the merged
+    vadv+sed kernel (``vertical_advection_step.fused_vadv_sedimentation_rk3ws``)
+    so the two cannot diverge.  Returns (q_stepped, vt_stage1).
+
+    Stage-invariant factors are hoisted out of the three RK evaluations:
+    the sqrt-power, the 1e-3 scaling, the divides, and (r4) the WHOLE
+    height-coefficient algebra of ``_dfdz`` with 1/rho folded in — per
+    stage only the qr-dependent fall-velocity power and a 2- or 3-tap
+    FMA remain.  Same formulas as ``_dfdz`` up to multiplication
+    reassociation (oracle tests hold at their existing tolerances)."""
+    nb = order  # flux extent
+    c1, c2, c3 = dt / 3.0, dt / 2.0, dt
+    h = 0.5 * (hifv[..., :-1] + hifv[..., 1:])
+    mrho = 1.0e-3 * rhov
+    wsq = 36.34 * (rhov[..., -1:] / rhov) ** 0.5
+    inv_rho = 1.0 / rhov[..., nb:]
+    if order == 1:
+        ca = inv_rho / (h[..., :-1] - h[..., 1:])
+        cb = None
+    else:
+        h2, h1, h0 = h[..., 2:], h[..., 1:-1], h[..., :-2]
+        d1 = h1 - h2
+        d2 = h0 - h2
+        d3 = h0 - h1
+        ca = (2.0 * h2 - h1 - h0) / (d1 * d2) * inv_rho
+        cb = d2 / (d1 * d3) * inv_rho
+        cc = (h2 - h1) / (d2 * d3) * inv_rho
+
+    def tendency(qi, vt_frozen=None):
+        # vt_mode="step" (the flagship namelist's setting): the qr^0.1346
+        # fall-velocity power — the kernel's dominant cost, BENCH_NOTES
+        # kernel_roofline — is evaluated at stage 1 only and reused; vt
+        # varies slowly within a step, but this DEVIATES from the
+        # reference's per-stage evaluation (error budget in BENCH_NOTES
+        # r5_sed_vt_step; golden umax unchanged at all printed digits)
+        vt = (
+            vt_frozen
+            if vt_frozen is not None
+            else _fall_velocity_weighted(mrho, wsq, qi)
+        )
+        rqv = rhov * qi * vt
+        if order == 1:
+            d = ca * (rqv[..., :-1] - rqv[..., 1:])
+        else:
+            d = ca * rqv[..., 2:] + cb * rqv[..., 1:-1] + cc * rqv[..., :-2]
+        z = jnp.zeros(d.shape[:-1] + (nb,), d.dtype)
+        return jnp.concatenate([z, d], axis=-1), vt
+
+    t1, vt1 = tendency(q0)
+    frozen = vt1 if vt_mode == "step" else None
+    q1 = q0 + c1 * t1
+    t2, _ = tendency(q1, frozen)
+    q2 = q0 + c2 * t2
+    t3, _ = tendency(q2, frozen)
+    return q0 + c3 * t3, vt1
+
+
 @functools.partial(
     jax.jit, static_argnames=("order", "dt", "tile_x", "vt_mode", "interpret")
 )
@@ -86,63 +145,14 @@ def fused_sedimentation_rk3ws(
     nx, ny, nz = rho.shape
     rho = rho.astype(qr.dtype)
     h_if = h_if.astype(qr.dtype)
-    nb = order  # flux extent
     TX = min(tile_x, nx)
     NT = pl.cdiv(nx, TX)
-    c1, c2, c3 = dt / 3.0, dt / 2.0, dt
 
     def kernel(rho_r, hif_r, qr_r, out_q, out_vt):
-        rhov = rho_r[:]
-        h = 0.5 * (hif_r[..., :-1] + hif_r[..., 1:])
-        q0 = qr_r[:]
-        # stage-invariant factors, hoisted out of the three RK evaluations:
-        # the sqrt-power, the 1e-3 scaling, the divides, and (r4) the WHOLE
-        # height-coefficient algebra of ``_dfdz`` with 1/rho folded in — per
-        # stage only the qr-dependent fall-velocity power and a 2- or 3-tap
-        # FMA remain.  Same formulas as ``_dfdz`` up to multiplication
-        # reassociation (oracle tests hold at their existing tolerances).
-        mrho = 1.0e-3 * rhov
-        wsq = 36.34 * (rhov[..., -1:] / rhov) ** 0.5
-        inv_rho = 1.0 / rhov[..., nb:]
-        if order == 1:
-            ca = inv_rho / (h[..., :-1] - h[..., 1:])
-            cb = None
-        else:
-            h2, h1, h0 = h[..., 2:], h[..., 1:-1], h[..., :-2]
-            d1 = h1 - h2
-            d2 = h0 - h2
-            d3 = h0 - h1
-            ca = (2.0 * h2 - h1 - h0) / (d1 * d2) * inv_rho
-            cb = d2 / (d1 * d3) * inv_rho
-            cc = (h2 - h1) / (d2 * d3) * inv_rho
-
-        def tendency(qi, vt_frozen=None):
-            # vt_mode="step" (TASMANIA_SED_VT=step, experimental): the
-            # qr^0.1346 fall-velocity power — the kernel's dominant cost,
-            # BENCH_NOTES kernel_roofline — is evaluated at stage 1 only and
-            # reused; vt varies slowly within a step, but this DEVIATES from
-            # the reference's per-stage evaluation (scheme change, off by
-            # default; adopt only if the golden umax is untouched)
-            vt = (
-                vt_frozen
-                if vt_frozen is not None
-                else _fall_velocity_weighted(mrho, wsq, qi)
-            )
-            rqv = rhov * qi * vt
-            if order == 1:
-                d = ca * (rqv[..., :-1] - rqv[..., 1:])
-            else:
-                d = ca * rqv[..., 2:] + cb * rqv[..., 1:-1] + cc * rqv[..., :-2]
-            z = jnp.zeros(d.shape[:-1] + (nb,), d.dtype)
-            return jnp.concatenate([z, d], axis=-1), vt
-
-        t1, vt1 = tendency(q0)
-        frozen = vt1 if vt_mode == "step" else None
-        q1 = q0 + c1 * t1
-        t2, _ = tendency(q1, frozen)
-        q2 = q0 + c2 * t2
-        t3, _ = tendency(q2, frozen)
-        out_q[:] = q0 + c3 * t3
+        q_out, vt1 = _sed_rk3ws_body(
+            rho_r[:], hif_r[:], qr_r[:], order=order, dt=dt, vt_mode=vt_mode
+        )
+        out_q[:] = q_out
         out_vt[:] = vt1
 
     spec = pl.BlockSpec((TX, ny, nz), lambda ix: (ix, 0, 0), memory_space=pltpu.VMEM)

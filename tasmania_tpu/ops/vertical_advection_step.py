@@ -264,24 +264,25 @@ def fused_vadv_sedimentation_rk3ws(
     order ``drivers/.../driver_namelist_sus.py:322-414``): both are
     column-local, so the sedimentation RK3WS runs in VMEM directly on the
     advected qr — the intermediate qr (dead in the sequential pair) never
-    round-trips HBM, and one kernel launch disappears.  Bitwise the values
-    of ``fused_vertical_advection_rk3ws`` followed by
-    ``fused_sedimentation_rk3ws`` (same expression trees; pinned by
-    tests/test_pallas_ops.py).
+    round-trips HBM, and one kernel launch disappears.  Reproduces
+    ``fused_vertical_advection_rk3ws`` followed by
+    ``fused_sedimentation_rk3ws``: the advected fields are bitwise (same
+    helpers), the sedimentation outputs agree to fma-contraction
+    reassociation (~1e-5 rtol — the sed algebra consumes the advected qr as
+    an in-kernel VALUE, so the compiler may contract differently than in
+    the standalone kernel; pinned by tests/test_pallas_ops.py).
 
     Returns:
       (s', su', sv', qv', qc', qr'', vt1): advected fields, the
       sedimentation-stepped qr, and the stage-1 fall velocity diagnostic.
     """
-    from tasmania_tpu.ops.sedimentation_step import _fall_velocity_weighted
+    from tasmania_tpu.ops.sedimentation_step import _sed_rk3ws_body
 
     nx, ny, nz = s.shape
     rho = rho.astype(qr.dtype)
     h_if = h_if.astype(qr.dtype)
     TX = min(tile_x, nx)
     NT = pl.cdiv(nx, TX)
-    nbs = sorder
-    c1, c2, c3 = dt / 3.0, dt / 2.0, dt
 
     def kernel(w_r, s_r, su_r, sv_r, qv_r, qc_r, qr_r, rho_r, hif_r, *outs):
         # --- vertical advection, all three RK stages (shared helper) ------- #
@@ -292,47 +293,12 @@ def fused_vadv_sedimentation_rk3ws(
         )
         for o, r in zip(outs[:5], adv[:5]):
             o[:] = r
-        q0 = adv[5]
 
-        # --- sedimentation RK3WS on the advected qr (same algebra as ------ #
-        # ``fused_sedimentation_rk3ws``'s kernel body)
-        rhov = rho_r[:]
-        h = 0.5 * (hif_r[..., :-1] + hif_r[..., 1:])
-        mrho = 1.0e-3 * rhov
-        wsq = 36.34 * (rhov[..., -1:] / rhov) ** 0.5
-        inv_rho = 1.0 / rhov[..., nbs:]
-        if sorder == 1:
-            ca = inv_rho / (h[..., :-1] - h[..., 1:])
-        else:
-            h2, h1, h0 = h[..., 2:], h[..., 1:-1], h[..., :-2]
-            d1 = h1 - h2
-            d2 = h0 - h2
-            d3 = h0 - h1
-            ca = (2.0 * h2 - h1 - h0) / (d1 * d2) * inv_rho
-            cb = d2 / (d1 * d3) * inv_rho
-            cc = (h2 - h1) / (d2 * d3) * inv_rho
-
-        def tendency(qi, vt_frozen=None):
-            vt = (
-                vt_frozen
-                if vt_frozen is not None
-                else _fall_velocity_weighted(mrho, wsq, qi)
-            )
-            rqv = rhov * qi * vt
-            if sorder == 1:
-                d = ca * (rqv[..., :-1] - rqv[..., 1:])
-            else:
-                d = ca * rqv[..., 2:] + cb * rqv[..., 1:-1] + cc * rqv[..., :-2]
-            z = jnp.zeros(d.shape[:-1] + (nbs,), d.dtype)
-            return jnp.concatenate([z, d], axis=-1), vt
-
-        t1, vt1 = tendency(q0)
-        frozen = vt1 if vt_mode == "step" else None
-        q1 = q0 + c1 * t1
-        t2, _ = tendency(q1, frozen)
-        q2 = q0 + c2 * t2
-        t3, _ = tendency(q2, frozen)
-        outs[5][:] = q0 + c3 * t3
+        # --- sedimentation RK3WS on the advected qr (shared helper) -------- #
+        q_out, vt1 = _sed_rk3ws_body(
+            rho_r[:], hif_r[:], adv[5], order=sorder, dt=dt, vt_mode=vt_mode
+        )
+        outs[5][:] = q_out
         outs[6][:] = vt1
 
     spec = pl.BlockSpec((TX, ny, nz), lambda ix: (ix, 0, 0), memory_space=pltpu.VMEM)

@@ -307,12 +307,11 @@ def test_smoothing_smagorinsky_merged_drawn_shapes(shape, order, tile_x, seed):
     )
     from tasmania_tpu.ops.smoothing_step import fused_smoothing
 
+    from hypothesis import assume
+
     nx, ny, nz = shape
     nb = 3
-    if nb < max(order, 2) or nx < 2 * nb + 3 or ny < 2 * nb + 3:
-        return
-    if nx < 8 + 2 * order + 5:
-        return
+    assume(nx >= max(2 * nb + 3, 8 + 2 * order + 5) and ny >= 2 * nb + 3)
     rng = np.random.default_rng(seed)
     fields = tuple(
         jnp.asarray(
@@ -364,9 +363,10 @@ def test_vadv_sed_merged_drawn_shapes(
         fused_vertical_advection_rk3ws,
     )
 
+    from hypothesis import assume
+
     nx, ny, nz = shape
-    if nz < 2 * {1: 1, 2: 1, 3: 2}[vorder] + 2 or nz <= sorder + 1:
-        return
+    assume(nz >= 2 * {1: 1, 2: 1, 3: 2}[vorder] + 2 and nz > sorder + 1)
     rng = np.random.default_rng(seed)
 
     def f32(scale=1.0, base=0.0, shp=(nx, ny, nz)):
